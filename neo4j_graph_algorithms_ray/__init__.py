@@ -1,0 +1,25 @@
+"""neo4j_graph_algorithms_ray — a Ray-Data-native link-graph analytics engine.
+
+A from-scratch re-expression of the capabilities of the public
+``mknblch/neo4j-graph-algorithms`` library (PageRank, connected
+components, label propagation, triangle counting, shortest paths,
+centralities) as idiomatic Ray Data pipelines:
+
+- graphs are plain ``ray.data.Dataset`` edge tables (``src``, ``dst``,
+  optional ``weight``), densified to int ids and materialized once
+  (the analog of the reference's ``GraphLoader`` projection —
+  ``core/GraphLoader.java`` in the reference tree);
+- per-vertex state (ranks, labels, colors) lives in dense numpy vectors
+  broadcast zero-copy through the Ray object store (the analog of the
+  reference's flat ``double[]``/``int[]`` arrays);
+- iterative kernels are driver-side loops where each round is a
+  ``map_batches`` gather-scatter over zero-copy Arrow edge blocks with
+  map-side pre-aggregation, combined either on the driver (streamed
+  partials) or via ``groupby().aggregate`` shuffles.
+
+Nothing in this package calls ``ray.init`` / ``ray.shutdown`` — the
+driver (or ``bench.py`` / the CLI / the pytest session fixture) owns the
+Ray session.
+"""
+
+__version__ = "0.1.0"

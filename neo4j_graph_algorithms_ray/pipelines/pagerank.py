@@ -1,0 +1,197 @@
+"""PageRank — flagship iterative kernel (reference: algo.pageRank).
+
+Semantics reproduce the reference kernel
+(``algo/.../impl/PageRank.java``, proc ``algo/.../PageRankProc.java`` in
+mknblch/neo4j-graph-algorithms): UNNORMALIZED power iteration with
+
+    rank_0[v]   = 1 - d                       (d = dampingFactor, 0.85)
+    rank_k+1[v] = (1 - d) + d * Σ_{u→v} rank_k[u] / outDeg(u)
+
+Dangling vertices (outDeg 0) simply emit nothing, exactly like the
+reference's ComputeStep (their mass is not redistributed); Σ rank ≈ n
+only on dangling-free graphs. The weighted variant replaces
+``1/outDeg(u)`` with ``w(u,v)/weightedOutDeg(u)``.
+
+Execution (SURVEY.md §2.2 A1): the edge table is densified + sorted by
+``si`` ONCE (GraphTables); each iteration is
+
+    edges.map_batches(gather-scatter)   # rank[si] * inv_out_deg[si],
+                                        # pre-aggregated per block on di
+    → combine into the dense next-rank vector ("driver" stream fold or
+      "shuffle" groupby("idx").sum — both supported, see state.dense)
+    → teleport add + L1 delta on the driver.
+
+Stops at ``Σ|Δ| < tol`` (north rule 1e-6) or ``max_iterations``; the
+reference's fixed-20-iterations behavior is ``fixed_iterations=20``.
+Per-iteration checkpointing/resume via state.checkpoint (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..state.checkpoint import (
+    CheckpointConfig,
+    latest_complete,
+    load_iteration,
+    save_iteration,
+)
+from ..state.dense import group_sum, scatter_combine
+from ..state.graph import GraphTables
+
+
+@dataclass(frozen=True)
+class PageRankConfig:
+    """Mirrors the reference ProcedureConfiguration defaults
+    (``core/ProcedureConfiguration.java``: iterations=20, damping=0.85)."""
+
+    damping: float = 0.85
+    tolerance: float = 1e-6
+    max_iterations: int = 100
+    fixed_iterations: Optional[int] = None  # reference-style fixed count
+    weighted: bool = False
+    combine: str = "driver"  # or "shuffle"
+    checkpoint: Optional[CheckpointConfig] = None
+
+
+@dataclass
+class PageRankResult:
+    ranks: np.ndarray  # dense, index = dense vid
+    iterations: int
+    converged: bool
+    delta: float
+    metrics: dict = field(default_factory=dict)
+
+
+def _make_partial(ranks_ref, invdeg_ref, token: str, weighted: bool):
+    def partial(batch: pa.Table) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False)
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        ranks = ray.get(ranks_ref)
+        invdeg = ray.get(invdeg_ref)
+        contrib = ranks[si] * invdeg[si]
+        if weighted:
+            contrib = contrib * batch["w"].to_numpy(zero_copy_only=False)
+        idx, sums = group_sum(di, contrib, token=token)
+        return pa.table({"idx": idx, "val": sums})
+
+    return partial
+
+
+def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> PageRankResult:
+    n = graph.n
+    d = config.damping
+    alpha = 1.0 - d
+    deg = graph.out_degree(weighted=config.weighted)
+    with np.errstate(divide="ignore"):
+        invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+    invdeg_ref = ray.put(invdeg)
+
+    start_iter = 0
+    ranks = np.full(n, alpha, dtype=np.float64)
+    ckpt = config.checkpoint
+    if ckpt is not None and ckpt.resume:
+        k = latest_complete(ckpt)
+        if k is not None:
+            _, vectors, _ = load_iteration(ckpt, k)
+            ranks = vectors["rank"]
+            start_iter = k
+
+    max_iters = (
+        config.fixed_iterations
+        if config.fixed_iterations is not None
+        else config.max_iterations
+    )
+    token = graph.token + "/pr"
+    delta = float("inf")
+    converged = False
+    metrics: dict = {"iteration_seconds": [], "edges": graph.m}
+    t_all = time.perf_counter()
+    it = start_iter
+    while it < max_iters:
+        t0 = time.perf_counter()
+        ranks_ref = ray.put(ranks)
+        partial = _make_partial(ranks_ref, invdeg_ref, token, config.weighted)
+        acc = scatter_combine(
+            graph.edges, partial, n, op="sum", combine=config.combine
+        )
+        new_ranks = alpha + d * acc
+        delta = float(np.abs(new_ranks - ranks).sum())
+        ranks = new_ranks
+        it += 1
+        dt = time.perf_counter() - t0
+        metrics["iteration_seconds"].append(dt)
+        if ckpt is not None and it % ckpt.every == 0:
+            save_iteration(
+                ckpt,
+                it,
+                graph.vids,
+                {"rank": ranks},
+                {
+                    "iteration": it,
+                    "delta": delta,
+                    "seconds": dt,
+                    "edges_per_sec": graph.m / dt if dt > 0 else None,
+                },
+                input_token=graph.token,
+            )
+        if config.fixed_iterations is None and delta < config.tolerance:
+            converged = True
+            break
+    total = time.perf_counter() - t_all
+    iters_run = it - start_iter
+    metrics.update(
+        {
+            "total_seconds": total,
+            "iterations": it,
+            "iterations_per_sec": iters_run / total if total > 0 else None,
+            "edges_per_sec": iters_run * graph.m / total if total > 0 else None,
+            "delta": delta,
+        }
+    )
+    return PageRankResult(
+        ranks=ranks, iterations=it, converged=converged, delta=delta, metrics=metrics
+    )
+
+
+def pagerank_table(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> pa.Table:
+    """(vid, rank) result keyed by original vertex id."""
+    res = pagerank(graph, config)
+    return graph.to_table({"rank": res.ranks})
+
+
+def pagerank_numpy_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n: int,
+    *,
+    damping: float = 0.85,
+    iterations: int = 100,
+    tol: float | None = 1e-6,
+    weight: np.ndarray | None = None,
+) -> np.ndarray:
+    """Dense single-machine reference recurrence for tests (SURVEY §5.2)."""
+    alpha = 1.0 - damping
+    if weight is None:
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        contrib_w = np.ones(len(src))
+    else:
+        deg = np.bincount(src, weights=weight, minlength=n)
+        contrib_w = weight
+    with np.errstate(divide="ignore"):
+        invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+    r = np.full(n, alpha)
+    for _ in range(iterations):
+        acc = np.bincount(dst, weights=r[src] * invdeg[src] * contrib_w, minlength=n)
+        new = alpha + damping * acc
+        d1 = np.abs(new - r).sum()
+        r = new
+        if tol is not None and d1 < tol:
+            break
+    return r

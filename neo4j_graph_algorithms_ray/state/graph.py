@@ -1,0 +1,223 @@
+"""GraphTables — the projected graph as materialized Ray Datasets.
+
+The analog of the reference's graph projection step (``GraphLoader`` →
+``HeavyGraphFactory.build()`` in mknblch/neo4j-graph-algorithms:
+``core/.../heavyweight/HeavyGraphFactory.java``): copy the subgraph out
+of the source tables ONCE into an immutable, dense-id representation
+tuned for repeated traversal, then run many algorithm rounds over it.
+
+Here the representation is:
+
+- ``vids``: sorted numpy int64 array of original vertex ids; the dense
+  id of vertex ``v`` is ``np.searchsorted(vids, v)``. Because ``vids``
+  is sorted, the original→dense mapping is monotone (preserves order —
+  canonical "min member id" semantics survive densification). This is
+  the reference's ``IdMapping`` (``api/IdMapping.java``) realized as a
+  broadcast array + binary search instead of a hashmap.
+- ``edges``: a materialized Dataset with dense columns ``si``/``di``
+  (+ optional ``w``), RANGE-partitioned by ``si`` via one ``sort("si")``
+  at build time. Sorted blocks are CSR in all but name: each Arrow block
+  is a contiguous src range whose columns view zero-copy as numpy; the
+  per-block factorized adjacency is cached process-globally
+  (``state.dense``) so iterative kernels pay the build once, like the
+  reference's ``AdjacencyMatrix`` built once per projection.
+
+Partitioning contract used by every kernel: any blocking of the edge
+table is CORRECT (pre-aggregation + combine is order/partition
+insensitive); src-contiguous blocks are merely FASTER (gather locality,
+smaller per-block distinct-dst sets). Skew: a power-law dst does not
+concentrate work because the scatter side is partitioned by src and the
+combiner pre-aggregates per block before anything moves (heavy-hitter
+handling per SURVEY.md §4.2 — map-side combine is the salt).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .dense import group_sum, scatter_combine
+
+
+def _densify_batch(batch: pa.Table, *, vids_ref, src: str, dst: str, weight: Optional[str]) -> pa.Table:
+    vids = ray.get(vids_ref)
+    s = batch[src].to_numpy(zero_copy_only=False)
+    d = batch[dst].to_numpy(zero_copy_only=False)
+    cols = {
+        "si": np.searchsorted(vids, s).astype(np.int64),
+        "di": np.searchsorted(vids, d).astype(np.int64),
+    }
+    if weight is not None:
+        cols["w"] = batch[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(cols)
+
+
+def _both_directions(batch: pa.Table) -> pa.Table:
+    si = batch["si"].to_numpy(zero_copy_only=False)
+    di = batch["di"].to_numpy(zero_copy_only=False)
+    cols = {
+        "si": np.concatenate([si, di]),
+        "di": np.concatenate([di, si]),
+    }
+    if "w" in batch.column_names:
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        cols["w"] = np.concatenate([w, w])
+    return pa.table(cols)
+
+
+@dataclass
+class GraphTables:
+    """Immutable projected graph: dense-id edge Dataset + id mapping."""
+
+    vids_ref: ray.ObjectRef
+    n: int
+    edges: "rd.Dataset"
+    m: int
+    token: str = field(default_factory=lambda: uuid.uuid4().hex)
+    weighted: bool = False
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_dataset(
+        ds: "rd.Dataset",
+        src: str = "src",
+        dst: str = "dst",
+        weight: Optional[str] = None,
+        *,
+        sort: bool = True,
+    ) -> "GraphTables":
+        """Project an edge Dataset (original int64 ids) into dense form.
+
+        Distinct-vertex discovery streams per-block uniques to the
+        driver (O(distinct) driver memory — same envelope as the dense
+        vectors; the shuffle path would be ``ds.unique`` at larger
+        scale).
+        """
+        cols = [src, dst] + ([weight] if weight else [])
+        ds = ds.select_columns(cols)
+        uniq_parts = ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": np.unique(
+                        np.concatenate(
+                            [
+                                b[src].to_numpy(zero_copy_only=False),
+                                b[dst].to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        chunks = [
+            batch["v"].to_numpy(zero_copy_only=False)
+            for batch in uniq_parts.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        vids = (
+            np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+        ).astype(np.int64)
+        vids_ref = ray.put(vids)
+
+        dense = ds.map_batches(
+            _densify_batch,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"vids_ref": vids_ref, "src": src, "dst": dst, "weight": weight},
+        )
+        if sort and len(vids):
+            dense = dense.sort("si")
+        dense = dense.materialize()
+        return GraphTables(
+            vids_ref=vids_ref,
+            n=int(len(vids)),
+            edges=dense,
+            m=int(dense.count()),
+            weighted=weight is not None,
+        )
+
+    @staticmethod
+    def from_arrays(
+        src: np.ndarray, dst: np.ndarray, weight: Optional[np.ndarray] = None
+    ) -> "GraphTables":
+        """Test/fixture constructor from numpy edge arrays."""
+        cols = {"src": np.asarray(src, dtype=np.int64), "dst": np.asarray(dst, dtype=np.int64)}
+        if weight is not None:
+            cols["weight"] = np.asarray(weight, dtype=np.float64)
+        ds = rd.from_arrow(pa.table(cols))
+        return GraphTables.from_dataset(
+            ds, weight="weight" if weight is not None else None
+        )
+
+    # ------------------------------------------------------------------
+    # accessors
+    # ------------------------------------------------------------------
+    @property
+    def vids(self) -> np.ndarray:
+        return ray.get(self.vids_ref)
+
+    def edges_both(self) -> "rd.Dataset":
+        """Undirected view: each block emits both directions (no shuffle).
+
+        The analog of the reference loading ``Direction.BOTH``
+        (``core/GraphLoader.java`` ``withDirection``): both directions
+        are materialized per block on the fly rather than stored twice.
+        """
+        return self.edges.map_batches(
+            _both_directions, batch_format="pyarrow", batch_size=None
+        )
+
+    # ------------------------------------------------------------------
+    # degrees (reference: api/Degrees.java — here a dense vector)
+    # ------------------------------------------------------------------
+    def out_degree(self, weighted: bool = False) -> np.ndarray:
+        tok = self.token + ("/wodeg" if weighted else "/odeg")
+
+        def partial(batch: pa.Table, _tok=tok, _w=weighted) -> pa.Table:
+            si = batch["si"].to_numpy(zero_copy_only=False)
+            val = (
+                batch["w"].to_numpy(zero_copy_only=False)
+                if _w
+                else np.ones(len(si), dtype=np.float64)
+            )
+            idx, sums = group_sum(si, val, token=_tok)
+            return pa.table({"idx": idx, "val": sums})
+
+        return scatter_combine(self.edges, partial, self.n, op="sum")
+
+    def in_degree(self, weighted: bool = False) -> np.ndarray:
+        tok = self.token + ("/wideg" if weighted else "/ideg")
+
+        def partial(batch: pa.Table, _tok=tok, _w=weighted) -> pa.Table:
+            di = batch["di"].to_numpy(zero_copy_only=False)
+            val = (
+                batch["w"].to_numpy(zero_copy_only=False)
+                if _w
+                else np.ones(len(di), dtype=np.float64)
+            )
+            idx, sums = group_sum(di, val, token=_tok)
+            return pa.table({"idx": idx, "val": sums})
+
+        return scatter_combine(self.edges, partial, self.n, op="sum")
+
+    # ------------------------------------------------------------------
+    # result mapping back to original ids
+    # ------------------------------------------------------------------
+    def to_table(self, named_vectors: dict[str, np.ndarray], vid_col: str = "vid") -> pa.Table:
+        """Dense per-vertex vectors → pyarrow table keyed by original id."""
+        cols: dict = {vid_col: self.vids}
+        for name, vec in named_vectors.items():
+            cols[name] = vec
+        return pa.table(cols)
+
+    def to_dataset(self, named_vectors: dict[str, np.ndarray], vid_col: str = "vid") -> "rd.Dataset":
+        return rd.from_arrow(self.to_table(named_vectors, vid_col=vid_col))
