@@ -1,0 +1,357 @@
+"""Connected components — WCC (algo.unionFind) and SCC (algo.scc).
+
+WCC reproduces the OUTPUT semantics of the reference's union-find
+procedures (``algo/.../impl/GraphUnionFind.java``,
+``algo/.../UnionFindProc.java``) under the canonical labeling pinned in
+SURVEY.md §5.3: component id = MIN member vid — exactly the fixpoint the
+reference's MSColoring variant (``algo/.../impl/MSColoring.java``)
+computes. The reference's shared-memory disjoint-set
+(``core/.../utils/dss/DisjointSetStruct.java``) has no distributed
+analog, so the dataflow is hash-to-min label propagation:
+
+    labels ← vid;  per round: labels[v] ← min(labels[u] : u ~ v)
+    (+ driver-side pointer jumping labels ← labels[labels], valid
+     because a label is always a same-component member, giving the
+     O(log) convergence of the two-level union-find variants
+     ``ParallelUnionFind*.java`` without shared memory)
+
+with an optional per-block LOCAL union-find reduction first (the
+analog of the reference's per-task DSS + merge): each edge block is
+contracted to (vertex → block-local min member) star edges, shrinking
+the iterated edge set from |E| to Σ|distinct vids per block|.
+
+The ``threshold`` option mirrors ``algo.unionFind``'s weight-threshold
+filtering (only union edges with weight > threshold).
+
+SCC implements the coloring / forward-backward algorithm (the dataflow
+relative of the reference's ``MultiStepSCC``,
+``algo/.../impl/multistep/MultiStepSCC.java``; Tarjan variants are
+inherently sequential): repeat { color = min forward-reachable active
+vertex (label rounds + pointer jumping); roots r where color[r]=r;
+backward-reach roots within same color → those vertices form SCC(color);
+retire them } until no active vertices. Output scc id = min member vid
+(equals "min mutually-reachable vid", the SQL-oracle definition).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..state.dense import block_cache_key, cache_get, cache_put, group_min, scatter_combine
+from ..state.graph import GraphTables
+
+
+# ----------------------------------------------------------------------
+# local (block-level) connected components — vectorized min-prop
+# ----------------------------------------------------------------------
+def _local_cc(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over one block's edges, vectorized.
+
+    Returns (uniq_vertices, min_member_of_local_component) — the
+    per-task DSS of the reference's ParallelUnionFindQueue, as arrays.
+    """
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, ai, lab[bi])
+        np.minimum.at(l2, bi, lab[ai])
+        # pointer jumping to the current root
+        while True:
+            l3 = l2[l2]
+            if (l3 == l2).all():
+                break
+            l2 = l3
+        if (l2 == lab).all():
+            break
+        lab = l2
+    return uniq, uniq[lab]
+
+
+def _reduce_block(batch: pa.Table, *, token: str) -> pa.Table:
+    si = batch["si"].to_numpy(zero_copy_only=False)
+    di = batch["di"].to_numpy(zero_copy_only=False)
+    key = block_cache_key(token, si, di)
+    ent = cache_get(key)
+    if ent is None:
+        uniq, root = _local_cc(si, di)
+        keep = uniq != root
+        ent = (uniq[keep], root[keep])
+        cache_put(key, ent)
+    u, r = ent
+    return pa.table({"si": u, "di": r})
+
+
+@dataclass
+class ComponentsResult:
+    labels: np.ndarray  # dense: component id as DENSE index of min member
+    components: np.ndarray  # original-vid component id per vertex
+    set_count: int
+    rounds: int
+    metrics: dict = field(default_factory=dict)
+
+
+def _min_label_rounds(edges, n: int, labels: np.ndarray, token: str, combine: str = "driver") -> tuple[np.ndarray, int]:
+    """Iterate labels[dst] = min(labels[src]) over an edge Dataset until
+    fixpoint; labels are dense indices of same-component members."""
+    rounds = 0
+    while True:
+        lab_ref = ray.put(labels)
+
+        def partial(batch: pa.Table, _ref=lab_ref, _tok=token) -> pa.Table:
+            si = batch["si"].to_numpy(zero_copy_only=False)
+            di = batch["di"].to_numpy(zero_copy_only=False)
+            lab = ray.get(_ref)
+            idx, mins = group_min(di, lab[si])
+            return pa.table({"idx": idx, "val": mins})
+
+        new = scatter_combine(
+            edges, partial, n, op="min", combine=combine,
+            init=labels.copy(), dtype=np.int64,
+        )
+        # pointer jumping (driver, O(n) per hop)
+        while True:
+            j = new[new]
+            if (j == new).all():
+                break
+            new = j
+        rounds += 1
+        if (new == labels).all():
+            return labels, rounds
+        labels = new
+
+
+def wcc(
+    graph: GraphTables,
+    *,
+    threshold: Optional[float] = None,
+    reduce_local: bool = True,
+    combine: str = "driver",
+) -> ComponentsResult:
+    t0 = time.perf_counter()
+    n = graph.n
+    edges = graph.edges
+    if threshold is not None:
+        if not graph.weighted:
+            raise ValueError("threshold requires a weighted graph")
+        thr = float(threshold)
+        edges = edges.map_batches(
+            lambda t, _thr=thr: t.filter(
+                pa.compute.greater(t["w"], pa.scalar(_thr))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    token = graph.token + f"/wcc/{threshold}"
+    if reduce_local:
+        # per-block union-find contraction (star edges), computed once,
+        # then iterate on the much smaller reduced set
+        edges = edges.map_batches(
+            _reduce_block,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"token": token},
+        ).materialize()
+    else:
+        edges = graph.edges_both() if threshold is None else edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "si": np.concatenate([t["si"].to_numpy(zero_copy_only=False), t["di"].to_numpy(zero_copy_only=False)]),
+                    "di": np.concatenate([t["di"].to_numpy(zero_copy_only=False), t["si"].to_numpy(zero_copy_only=False)]),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    # star edges from _reduce_block are directed (v → local min); propagate
+    # min in both directions by iterating over the undirected view
+    if reduce_local:
+        edges = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "si": np.concatenate([t["si"].to_numpy(zero_copy_only=False), t["di"].to_numpy(zero_copy_only=False)]),
+                    "di": np.concatenate([t["di"].to_numpy(zero_copy_only=False), t["si"].to_numpy(zero_copy_only=False)]),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    labels = np.arange(n, dtype=np.int64)
+    labels, rounds = _min_label_rounds(edges, n, labels, token, combine=combine)
+    vids = graph.vids
+    comps = vids[labels] if n else np.empty(0, dtype=np.int64)
+    return ComponentsResult(
+        labels=labels,
+        components=comps,
+        set_count=int(len(np.unique(labels))) if n else 0,
+        rounds=rounds,
+        metrics={"seconds": time.perf_counter() - t0, "reduce_local": reduce_local},
+    )
+
+
+def wcc_table(graph: GraphTables, **kw) -> pa.Table:
+    res = wcc(graph, **kw)
+    return graph.to_table({"component": res.components})
+
+
+# ----------------------------------------------------------------------
+# SCC — coloring / forward-backward peeling
+# ----------------------------------------------------------------------
+@dataclass
+class SCCResult:
+    components: np.ndarray  # original-vid scc id (min member) per vertex
+    set_count: int
+    outer_rounds: int
+    metrics: dict = field(default_factory=dict)
+
+
+def scc(graph: GraphTables, combine: str = "driver") -> SCCResult:
+    t0 = time.perf_counter()
+    n = graph.n
+    edges = graph.edges
+    sccid = np.full(n, -1, dtype=np.int64)  # dense idx of scc min member
+    active = np.ones(n, dtype=bool)
+    outer = 0
+    SENT = n  # sentinel color for inactive vertices
+    while active.any():
+        outer += 1
+        # ---- forward min-label: color[v] = min active vertex reaching v
+        color = np.where(active, np.arange(n, dtype=np.int64), SENT)
+        while True:
+            c_ref = ray.put(color)
+            a_ref = ray.put(active)
+
+            def fwd_partial(batch: pa.Table, _c=c_ref, _a=a_ref) -> pa.Table:
+                si = batch["si"].to_numpy(zero_copy_only=False)
+                di = batch["di"].to_numpy(zero_copy_only=False)
+                col = ray.get(_c)
+                act = ray.get(_a)
+                m = act[si] & act[di]
+                if not m.any():
+                    return pa.table(
+                        {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
+                    )
+                idx, mins = group_min(di[m], col[si[m]])
+                return pa.table({"idx": idx, "val": mins})
+
+            new = scatter_combine(
+                edges, fwd_partial, n, op="min", combine=combine,
+                init=color.copy(), dtype=np.int64,
+            )
+            # pointer jumping: color[v] (an active ancestor of v) can adopt
+            # ITS minimal known ancestor, still an ancestor of v
+            while True:
+                j = np.where(new < SENT, new[np.minimum(new, n - 1)], SENT)
+                j = np.minimum(new, j)
+                if (j == new).all():
+                    break
+                new = j
+            if (new == color).all():
+                break
+            color = new
+        # ---- roots & backward reach within color
+        idx_arr = np.arange(n, dtype=np.int64)
+        reached = active & (color == idx_arr)
+        while True:
+            r_ref = ray.put(reached)
+            c_ref = ray.put(color)
+
+            def bwd_partial(batch: pa.Table, _r=r_ref, _c=c_ref) -> pa.Table:
+                si = batch["si"].to_numpy(zero_copy_only=False)
+                di = batch["di"].to_numpy(zero_copy_only=False)
+                rch = ray.get(_r)
+                col = ray.get(_c)
+                m = rch[di] & ~rch[si] & (col[si] == col[di]) & (col[si] < len(col))
+                if not m.any():
+                    return pa.table(
+                        {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
+                    )
+                idx = np.unique(si[m])
+                return pa.table({"idx": idx, "val": np.ones(len(idx), np.int64)})
+
+            hits = scatter_combine(
+                edges, bwd_partial, n, op="max", combine=combine,
+                init=np.zeros(n, dtype=np.int64), dtype=np.int64,
+            )
+            new_reached = reached | (hits > 0)
+            if (new_reached == reached).all():
+                break
+            reached = new_reached
+        sccid[reached] = color[reached]
+        active &= ~reached
+    vids = graph.vids
+    comps = vids[sccid] if n else np.empty(0, dtype=np.int64)
+    return SCCResult(
+        components=comps,
+        set_count=int(len(np.unique(sccid))) if n else 0,
+        outer_rounds=outer,
+        metrics={"seconds": time.perf_counter() - t0},
+    )
+
+
+def scc_table(graph: GraphTables, **kw) -> pa.Table:
+    res = scc(graph, **kw)
+    return graph.to_table({"scc": res.components})
+
+
+# ----------------------------------------------------------------------
+# sequential oracle (tests): iterative Tarjan, the reference's
+# SCCIterativeTarjan semantics (algo/.../impl/SCCIterativeTarjan.java)
+# ----------------------------------------------------------------------
+def scc_numpy_oracle(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Min-member SCC ids via iterative Tarjan (single machine)."""
+    order = np.argsort(src, kind="stable")
+    s, d = src[order], dst[order]
+    indptr = np.searchsorted(s, np.arange(n + 1))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, indptr[root])]
+        while work:
+            v, ptr = work.pop()
+            if index[v] == -1:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            while ptr < indptr[v + 1]:
+                w = d[ptr]
+                ptr += 1
+                if index[w] == -1:
+                    work.append((v, ptr))
+                    work.append((int(w), indptr[w]))
+                    advanced = True
+                    break
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                mid = min(members)
+                for w in members:
+                    comp[w] = mid
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp

@@ -1,0 +1,142 @@
+"""Label propagation — synchronous LPA (reference: algo.labelPropagation).
+
+Vote semantics follow the reference kernel
+(``algo/.../impl/LabelPropagation.java``,
+``algo/.../LabelPropagationProc.java``): each vertex adopts the label
+with the maximum summed edge-weight vote among its in-neighbors under
+the chosen direction (default BOTH/undirected); labels seed from a
+node property (``partitionProperty``) or default to the vertex's own
+id; a vertex with no neighbors keeps its label.
+
+Semantics pin (SURVEY.md §5.3): the reference updates IN PLACE in batch
+order (semi-asynchronous, nondeterministic under concurrency); we pin
+SYNCHRONOUS rounds + min-label tie-break, which is deterministic across
+runs and parallelism levels — the property the north rule's exact-match
+gate actually needs. Fixtures are chosen where both schemes converge to
+the same labeling.
+
+Dataflow per iteration (SURVEY.md §2.3 C5):
+
+    edges(BOTH) → map_batches: votes (di, labels[si], w) pre-aggregated
+    per block (pandas groupby inside the task)
+    → combine: groupby(["idx","lab"]).sum (shuffle mode) or a driver
+      stream fold (dense mode)
+    → argmax per vertex, ties → min label
+    → synchronous swap; converged when no label changed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..state.graph import GraphTables
+
+
+@dataclass(frozen=True)
+class LabelPropagationConfig:
+    max_iterations: int = 100
+    fixed_iterations: Optional[int] = None
+    weighted: bool = False
+    directed: bool = False  # reference default direction is OUTGOING;
+    # undirected (BOTH) is what the community fixtures use
+    combine: str = "driver"  # or "shuffle"
+
+
+@dataclass
+class LabelPropagationResult:
+    labels: np.ndarray  # original-id labels per dense vertex
+    iterations: int
+    converged: bool
+    metrics: dict = field(default_factory=dict)
+
+
+def _vote_partial(batch: pa.Table, *, lab_ref, weighted: bool) -> pa.Table:
+    si = batch["si"].to_numpy(zero_copy_only=False)
+    di = batch["di"].to_numpy(zero_copy_only=False)
+    lab = ray.get(lab_ref)
+    w = (
+        batch["w"].to_numpy(zero_copy_only=False)
+        if weighted
+        else np.ones(len(si), dtype=np.float64)
+    )
+    df = pd.DataFrame({"idx": di, "lab": lab[si], "w": w})
+    agg = df.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def _argmax_votes(votes: pd.DataFrame) -> pd.DataFrame:
+    """Per idx: label with max summed weight, ties → min label."""
+    votes = votes.sort_values(["idx", "w", "lab"], ascending=[True, False, True])
+    return votes.drop_duplicates("idx", keep="first")[["idx", "lab"]]
+
+
+def label_propagation(
+    graph: GraphTables,
+    config: LabelPropagationConfig = LabelPropagationConfig(),
+    seeds: Optional[np.ndarray] = None,
+) -> LabelPropagationResult:
+    """``seeds``: dense-indexed int64 array of initial labels (−1 = unseeded,
+    defaults to the vertex's own original vid — the reference's behavior
+    without ``partitionProperty``)."""
+    t0 = time.perf_counter()
+    n = graph.n
+    vids = graph.vids
+    labels = vids.copy()
+    if seeds is not None:
+        seeded = seeds >= 0
+        labels[seeded] = seeds[seeded]
+    edges = graph.edges if config.directed else graph.edges_both()
+    max_iters = (
+        config.fixed_iterations
+        if config.fixed_iterations is not None
+        else config.max_iterations
+    )
+    it = 0
+    converged = False
+    while it < max_iters:
+        lab_ref = ray.put(labels)
+        parts = edges.map_batches(
+            _vote_partial,
+            batch_format="pyarrow",
+            batch_size=None,
+            fn_kwargs={"lab_ref": lab_ref, "weighted": config.weighted},
+        )
+        if config.combine == "shuffle":
+            from ray.data.aggregate import Sum
+
+            parts = parts.groupby(["idx", "lab"]).aggregate(Sum("w", alias_name="w"))
+        chunks = [
+            b.to_pandas()
+            for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        new_labels = labels.copy()
+        if chunks:
+            votes = pd.concat(chunks, ignore_index=True)
+            if config.combine != "shuffle":
+                votes = votes.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
+            best = _argmax_votes(votes)
+            new_labels[best["idx"].to_numpy()] = best["lab"].to_numpy()
+        it += 1
+        changed = new_labels != labels
+        labels = new_labels
+        if config.fixed_iterations is None and not changed.any():
+            converged = True
+            break
+    return LabelPropagationResult(
+        labels=labels,
+        iterations=it,
+        converged=converged,
+        metrics={"seconds": time.perf_counter() - t0},
+    )
+
+
+def label_propagation_table(graph: GraphTables, config=LabelPropagationConfig(), seeds=None) -> pa.Table:
+    res = label_propagation(graph, config, seeds)
+    return graph.to_table({"label": res.labels})

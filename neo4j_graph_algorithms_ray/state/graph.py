@@ -93,6 +93,7 @@ class GraphTables:
         weight: Optional[str] = None,
         *,
         sort: bool = True,
+        extra_vids: Optional[np.ndarray] = None,
     ) -> "GraphTables":
         """Project an edge Dataset (original int64 ids) into dense form.
 
@@ -123,6 +124,8 @@ class GraphTables:
             batch["v"].to_numpy(zero_copy_only=False)
             for batch in uniq_parts.iter_batches(batch_format="pyarrow", batch_size=None)
         ]
+        if extra_vids is not None:
+            chunks.append(np.asarray(extra_vids, dtype=np.int64))
         vids = (
             np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
         ).astype(np.int64)
@@ -147,7 +150,10 @@ class GraphTables:
 
     @staticmethod
     def from_arrays(
-        src: np.ndarray, dst: np.ndarray, weight: Optional[np.ndarray] = None
+        src: np.ndarray,
+        dst: np.ndarray,
+        weight: Optional[np.ndarray] = None,
+        extra_vids: Optional[np.ndarray] = None,
     ) -> "GraphTables":
         """Test/fixture constructor from numpy edge arrays."""
         cols = {"src": np.asarray(src, dtype=np.int64), "dst": np.asarray(dst, dtype=np.int64)}
@@ -155,7 +161,7 @@ class GraphTables:
             cols["weight"] = np.asarray(weight, dtype=np.float64)
         ds = rd.from_arrow(pa.table(cols))
         return GraphTables.from_dataset(
-            ds, weight="weight" if weight is not None else None
+            ds, weight="weight" if weight is not None else None, extra_vids=extra_vids
         )
 
     # ------------------------------------------------------------------

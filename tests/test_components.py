@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+from neo4j_graph_algorithms_ray.pipelines.components import (
+    scc,
+    scc_numpy_oracle,
+    wcc,
+)
+from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+from .conftest import SCC_EDGES, SCC_NODES, edge_arrays, names_to_ids
+
+
+def test_wcc_three_components():
+    # FIXTURES.md §3.2: triangle a-b-c, chain d-e-f, isolated g
+    ids = names_to_ids("a b c d e f g")
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "f")]
+    src, dst = edge_arrays(edges, ids)
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.array([ids["g"]]))
+    res = wcc(g)
+    assert res.set_count == 3
+    comp = {name: res.components[np.searchsorted(g.vids, i)] for name, i in ids.items()}
+    assert comp["a"] == comp["b"] == comp["c"] == ids["a"]
+    assert comp["d"] == comp["e"] == comp["f"] == ids["d"]
+    assert comp["g"] == ids["g"]
+
+
+def test_wcc_threshold_splits_component():
+    # FIXTURES.md §3.2: edge e→f weight 0.1 under threshold 0.5 splits comp 2
+    ids = names_to_ids("d e f")
+    src, dst = edge_arrays([("d", "e"), ("e", "f")], ids)
+    w = np.array([0.9, 0.1])
+    g = GraphTables.from_arrays(src, dst, w)
+    res = wcc(g, threshold=0.5)
+    assert res.set_count == 2
+    assert res.components[ids["d"]] == res.components[ids["e"]] == ids["d"]
+    assert res.components[ids["f"]] == ids["f"]
+
+
+@pytest.mark.parametrize("reduce_local", [True, False])
+def test_wcc_random_vs_oracle(reduce_local):
+    rng = np.random.default_rng(7)
+    n, m = 500, 800
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
+    res = wcc(g, reduce_local=reduce_local)
+    # oracle: undirected CC via repeated dense min-prop
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        l2 = lab.copy()
+        np.minimum.at(l2, src, lab[dst])
+        np.minimum.at(l2, dst, lab[src])
+        l2 = np.minimum(l2, l2[l2])
+        if (l2 == lab).all():
+            break
+        lab = l2
+    np.testing.assert_array_equal(res.components, lab)
+
+
+def test_scc_two_cycles_bridge():
+    # FIXTURES.md §3.5: two 3-cycles joined by one-way bridge c→d
+    ids = names_to_ids(SCC_NODES)
+    src, dst = edge_arrays(SCC_EDGES, ids)
+    g = GraphTables.from_arrays(src, dst)
+    res = scc(g)
+    assert res.set_count == 2
+    assert (
+        res.components[ids["a"]]
+        == res.components[ids["b"]]
+        == res.components[ids["c"]]
+        == ids["a"]
+    )
+    assert (
+        res.components[ids["d"]]
+        == res.components[ids["e"]]
+        == res.components[ids["f"]]
+        == ids["d"]
+    )
+    # same graph is ONE weak component (distinguishes WCC from SCC)
+    assert wcc(g).set_count == 1
+
+
+def test_scc_random_vs_tarjan_oracle():
+    rng = np.random.default_rng(11)
+    n, m = 200, 420
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
+    res = scc(g)
+    oracle = scc_numpy_oracle(src, dst, n)
+    np.testing.assert_array_equal(res.components, oracle)
+
+
+def test_scc_dag_all_singletons():
+    src = np.array([0, 1, 2], dtype=np.int64)
+    dst = np.array([1, 2, 3], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = scc(g)
+    assert res.set_count == 4
+    np.testing.assert_array_equal(res.components, np.arange(4))
