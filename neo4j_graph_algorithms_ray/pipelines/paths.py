@@ -1,0 +1,329 @@
+"""Path / traversal kernels — BFS, SSSP, MSBFS, closeness variants.
+
+- ``bfs_depths`` — unweighted single-source depths as dense frontier
+  rounds (the dataflow of the reference's traversal utilities).
+- ``sssp`` — weighted single-source shortest paths as distributed
+  Bellman-Ford rounds: ``dist' = min(dist, min_{u→v}(dist[u]+w))`` to
+  fixpoint. This is the frontier-relaxation semantics of the
+  reference's delta-stepping (``algo/.../impl/ShortestPathDeltaStepping.java``)
+  without the bucket ordering (buckets only change scheduling, not the
+  fixpoint); Dijkstra (``algo/.../impl/ShortestPathDijkstra.java``)
+  agrees on non-negative weights and serves as the test oracle.
+- ``msbfs`` — multi-source BFS, 64 sources per round batch encoded as a
+  uint64 visit bitmask per vertex (reference
+  ``core/.../utils/msbfs/MultiSourceBFS.java``, Then et al. VLDB 2015):
+  per round ``mask'[v] = OR_{u→v} frontier[u] & ~seen[v]``, the OR
+  running as map-side pre-aggregated partials over edge blocks.
+- ``closeness`` / ``harmonic`` / ``dangalchev`` centralities
+  (reference ``algo/.../impl/closeness/MSClosenessCentrality.java``,
+  ``HarmonicCentrality.java``, ``DangalchevClosenessCentrality.java``)
+  accumulate per-depth farness terms from MSBFS waves:
+  closeness(v) = (n−1)/Σ depth, harmonic(v) = Σ 1/depth / (n−1),
+  dangalchev(v) = Σ 1/2^depth; all over INCOMING wave counts, i.e. how
+  many sources reached v at each depth. Full all-sources centrality is
+  O(n·m/64) — run it on projected subgraphs, or pass ``sources`` for
+  the sampled variant.
+- ``betweenness`` — Brandes 2001 (reference
+  ``algo/.../impl/betweenness/BetweennessCentrality.java`` and the
+  RA-Brandes sampled variant ``RABrandesBetweennessCentrality.java``):
+  per-source BFS + backward dependency accumulation runs INSIDE each
+  task over a broadcast CSR (O(m) object-store share, the same envelope
+  as the dense vectors); sources fan out via ``map_batches`` and the
+  per-vertex partial dependency vectors combine by dense sum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.dense import group_min, group_sum, scatter_combine
+from ..state.graph import GraphTables
+
+
+# ----------------------------------------------------------------------
+# single-source BFS / Bellman-Ford SSSP
+# ----------------------------------------------------------------------
+def bfs_depths(graph: GraphTables, source_vid: int, directed: bool = True) -> np.ndarray:
+    """Dense int64 depth per vertex from ``source_vid`` (−1 unreachable)."""
+    n = graph.n
+    s = int(np.searchsorted(graph.vids, source_vid))
+    if s >= n or graph.vids[s] != source_vid:
+        raise KeyError(f"source vid {source_vid} not in graph")
+    edges = graph.edges if directed else graph.edges_both()
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[s] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[s] = True
+    d = 0
+    while frontier.any():
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(depth >= 0)
+
+        def partial(batch: pa.Table, _f=f_ref, _v=v_ref) -> pa.Table:
+            si = batch["si"].to_numpy(zero_copy_only=False)
+            di = batch["di"].to_numpy(zero_copy_only=False)
+            fr = ray.get(_f)
+            vis = ray.get(_v)
+            m = fr[si] & ~vis[di]
+            idx = np.unique(di[m])
+            return pa.table({"idx": idx, "val": np.ones(len(idx), np.int64)})
+
+        hits = scatter_combine(
+            edges, partial, n, op="max", init=np.zeros(n, np.int64), dtype=np.int64
+        )
+        new = (hits > 0) & (depth < 0)
+        d += 1
+        depth[new] = d
+        frontier = new
+    return depth
+
+
+@dataclass
+class SsspResult:
+    distances: np.ndarray  # float64, inf = unreachable
+    rounds: int
+    metrics: dict = field(default_factory=dict)
+
+
+def sssp(graph: GraphTables, source_vid: int, directed: bool = True) -> SsspResult:
+    """Weighted SSSP (non-negative weights) by Bellman-Ford rounds."""
+    n = graph.n
+    s = int(np.searchsorted(graph.vids, source_vid))
+    if s >= n or graph.vids[s] != source_vid:
+        raise KeyError(f"source vid {source_vid} not in graph")
+    edges = graph.edges if directed else graph.edges_both()
+    weighted = graph.weighted
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    rounds = 0
+    while True:
+        d_ref = ray.put(dist)
+
+        def partial(batch: pa.Table, _d=d_ref, _w=weighted) -> pa.Table:
+            si = batch["si"].to_numpy(zero_copy_only=False)
+            di = batch["di"].to_numpy(zero_copy_only=False)
+            dv = ray.get(_d)
+            w = (
+                batch["w"].to_numpy(zero_copy_only=False)
+                if _w
+                else np.ones(len(si), dtype=np.float64)
+            )
+            cand = dv[si] + w
+            ok = np.isfinite(cand)
+            idx, mins = group_min(di[ok], cand[ok])
+            return pa.table({"idx": idx, "val": mins})
+
+        new = scatter_combine(
+            edges, partial, n, op="min", init=dist.copy(), dtype=np.float64
+        )
+        rounds += 1
+        if np.array_equal(new, dist, equal_nan=False) or np.allclose(
+            new, dist, rtol=0, atol=0, equal_nan=True
+        ):
+            break
+        dist = new
+    return SsspResult(distances=dist, rounds=rounds)
+
+
+def dijkstra_numpy_oracle(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n: int, s: int
+) -> np.ndarray:
+    """Heap Dijkstra oracle for tests (reference ShortestPathDijkstra)."""
+    import heapq
+
+    order = np.argsort(src, kind="stable")
+    ss, dd, ww = src[order], dst[order], w[order]
+    indptr = np.searchsorted(ss, np.arange(n + 1))
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    h = [(0.0, s)]
+    done = np.zeros(n, dtype=bool)
+    while h:
+        dv, v = heapq.heappop(h)
+        if done[v]:
+            continue
+        done[v] = True
+        for i in range(indptr[v], indptr[v + 1]):
+            u = dd[i]
+            nd = dv + ww[i]
+            if nd < dist[u]:
+                dist[u] = nd
+                heapq.heappush(h, (nd, int(u)))
+    return dist
+
+
+# ----------------------------------------------------------------------
+# MSBFS + closeness family
+# ----------------------------------------------------------------------
+def msbfs_depth_waves(
+    graph: GraphTables,
+    sources: np.ndarray,
+    directed: bool = False,
+):
+    """Yield (depth, new_bits_count_per_vertex) for successive BFS depths
+    over ≤64-source batches (bitmask ANP). ``new_bits_count_per_vertex``
+    is how many of the batch's sources first reached each vertex at that
+    depth."""
+    n = graph.n
+    edges = graph.edges if directed else graph.edges_both()
+    for lo in range(0, len(sources), 64):
+        batch_sources = sources[lo : lo + 64]
+        seen = np.zeros(n, dtype=np.uint64)
+        frontier = np.zeros(n, dtype=np.uint64)
+        for bit, s in enumerate(batch_sources):
+            frontier[s] |= np.uint64(1 << bit)
+        seen |= frontier
+        depth = 0
+        while frontier.any():
+            f_ref = ray.put(frontier)
+
+            def partial(batch: pa.Table, _f=f_ref) -> pa.Table:
+                si = batch["si"].to_numpy(zero_copy_only=False)
+                di = batch["di"].to_numpy(zero_copy_only=False)
+                fr = ray.get(_f)
+                m = fr[si] != 0
+                if not m.any():
+                    z = np.empty(0, np.int64)
+                    return pa.table({"idx": z, "val": z})
+                dsel = di[m]
+                msel = fr[si[m]]
+                uniq, inv = np.unique(dsel, return_inverse=True)
+                acc = np.zeros(len(uniq), dtype=np.uint64)
+                np.bitwise_or.at(acc, inv, msel)
+                return pa.table(
+                    {"idx": uniq, "val": acc.view(np.int64)}  # arrow-safe carrier
+                )
+
+            parts = edges.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            acc = np.zeros(n, dtype=np.uint64)
+            for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+                idx = b["idx"].to_numpy(zero_copy_only=False)
+                val = b["val"].to_numpy(zero_copy_only=False).view(np.uint64)
+                np.bitwise_or.at(acc, idx, val)
+            newbits = acc & ~seen
+            depth += 1
+            if not newbits.any():
+                break
+            counts = np.zeros(n, dtype=np.int64)
+            nz = np.flatnonzero(newbits)
+            counts[nz] = [int(x).bit_count() for x in newbits[nz]]
+            yield depth, counts
+            seen |= newbits
+            frontier = newbits
+
+
+def closeness_table(
+    graph: GraphTables,
+    variant: str = "standard",  # standard | harmonic | dangalchev
+    sources: Optional[np.ndarray] = None,
+    directed: bool = False,
+) -> pa.Table:
+    n = graph.n
+    if sources is None:
+        sources = np.arange(n)
+    farness = np.zeros(n, dtype=np.float64)
+    for depth, counts in msbfs_depth_waves(graph, sources, directed=directed):
+        if variant == "standard":
+            farness += depth * counts
+        elif variant == "harmonic":
+            farness += counts / depth
+        elif variant == "dangalchev":
+            farness += counts / (2.0**depth)
+        else:  # pragma: no cover
+            raise ValueError(variant)
+    if variant == "standard":
+        with np.errstate(divide="ignore"):
+            cent = np.where(farness > 0, (n - 1.0) / farness, 0.0)
+    elif variant == "harmonic":
+        cent = farness / max(n - 1.0, 1.0)
+    else:
+        cent = farness
+    return graph.to_table({"centrality": cent})
+
+
+# ----------------------------------------------------------------------
+# betweenness (Brandes) — per-source tasks over broadcast CSR
+# ----------------------------------------------------------------------
+def _brandes_source(indptr, nbrs, s: int, n: int) -> np.ndarray:
+    """Dependency accumulation for one source (Brandes 2001)."""
+    sigma = np.zeros(n)
+    sigma[s] = 1.0
+    depth = np.full(n, -1, dtype=np.int64)
+    depth[s] = 0
+    order = [s]
+    frontier = [s]
+    d = 0
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in nbrs[indptr[v] : indptr[v + 1]]:
+                if depth[u] == -1:
+                    depth[u] = d + 1
+                    nxt.append(int(u))
+                    order.append(int(u))
+                if depth[u] == d + 1:
+                    sigma[u] += sigma[v]
+        frontier = nxt
+        d += 1
+    delta = np.zeros(n)
+    for v in reversed(order):
+        for u in nbrs[indptr[v] : indptr[v + 1]]:
+            if depth[u] == depth[v] + 1 and sigma[u] > 0:
+                delta[v] += sigma[v] / sigma[u] * (1.0 + delta[u])
+    delta[s] = 0.0
+    return delta
+
+
+def betweenness_table(
+    graph: GraphTables,
+    directed: bool = True,
+    sources: Optional[np.ndarray] = None,
+    sample_probability: Optional[float] = None,
+    seed: int = 42,
+) -> pa.Table:
+    """Exact (all sources) or RA-Brandes sampled betweenness."""
+    n = graph.n
+    # build CSR on the driver once (O(m)) and broadcast
+    chunks_s, chunks_d = [], []
+    edges = graph.edges if directed else graph.edges_both()
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        chunks_s.append(b["si"].to_numpy(zero_copy_only=False))
+        chunks_d.append(b["di"].to_numpy(zero_copy_only=False))
+    if chunks_s:
+        s_all = np.concatenate(chunks_s)
+        d_all = np.concatenate(chunks_d)
+        o = np.argsort(s_all, kind="stable")
+        s_all, d_all = s_all[o], d_all[o]
+    else:
+        s_all = d_all = np.empty(0, np.int64)
+    indptr = np.searchsorted(s_all, np.arange(n + 1))
+    csr_ref = ray.put((indptr, d_all))
+
+    scale = 1.0
+    if sources is None:
+        sources = np.arange(n)
+        if sample_probability is not None and 0 < sample_probability < 1:
+            rng = np.random.default_rng(seed)
+            sources = sources[rng.random(n) < sample_probability]
+            scale = n / max(len(sources), 1)
+
+    src_ds = rd.from_arrow(pa.table({"s": sources.astype(np.int64)}))
+
+    def partial(batch: pa.Table, _csr=csr_ref, _n=n) -> pa.Table:
+        ip, nb = ray.get(_csr)
+        total = np.zeros(_n)
+        for s in batch["s"].to_numpy(zero_copy_only=False):
+            total += _brandes_source(ip, nb, int(s), _n)
+        idx = np.flatnonzero(total)
+        return pa.table({"idx": idx.astype(np.int64), "val": total[idx]})
+
+    cent = scatter_combine(src_ds, partial, n, op="sum") * scale
+    if not directed:
+        cent = cent / 2.0
+    return graph.to_table({"centrality": cent})

@@ -118,6 +118,8 @@ def _combine_driver(parts, n: int, op: str, out: np.ndarray) -> np.ndarray:
             np.minimum.at(out, idx, val)
         elif op == "max":
             np.maximum.at(out, idx, val)
+        elif op == "or":  # bitmask union (MSBFS); driver combine only
+            np.bitwise_or.at(out, idx, val)
         else:  # pragma: no cover
             raise ValueError(op)
     return out

@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from neo4j_graph_algorithms_ray.pipelines.paths import (
+    bfs_depths,
+    betweenness_table,
+    closeness_table,
+    dijkstra_numpy_oracle,
+    sssp,
+)
+from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+from .conftest import edge_arrays, names_to_ids
+
+
+def test_bfs_depths_chain_with_branch():
+    ids = names_to_ids("a b c d e")
+    src, dst = edge_arrays(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], ids
+    )
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.array([ids["e"]]))
+    depth = bfs_depths(g, ids["a"])
+    np.testing.assert_array_equal(depth, [0, 1, 1, 2, -1])
+
+
+def test_sssp_matches_dijkstra():
+    rng = np.random.default_rng(3)
+    n, m = 120, 400
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.uniform(0.1, 5.0, m)
+    g = GraphTables.from_arrays(src, dst, w, extra_vids=np.arange(n))
+    res = sssp(g, 0)
+    oracle = dijkstra_numpy_oracle(src, dst, w, n, 0)
+    np.testing.assert_allclose(res.distances, oracle, rtol=1e-12, atol=1e-12)
+
+
+def test_sssp_unweighted_equals_bfs():
+    src = np.array([0, 1, 2, 0], dtype=np.int64)
+    dst = np.array([1, 2, 3, 2], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    d1 = sssp(g, 0).distances
+    d2 = bfs_depths(g, 0).astype(np.float64)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def _path5():
+    # undirected path a-b-c-d-e: reference betweenness fixture
+    ids = names_to_ids("a b c d e")
+    src, dst = edge_arrays([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ids)
+    return ids, GraphTables.from_arrays(src, dst)
+
+
+def test_betweenness_path5():
+    # reference BetweennessCentralityTest: 5-path → {0, 3, 4, 3, 0}
+    _, g = _path5()
+    t = betweenness_table(g, directed=False).to_pandas()
+    np.testing.assert_allclose(t["centrality"].values, [0, 3, 4, 3, 0])
+
+
+def test_betweenness_sampled_full_probability_matches():
+    _, g = _path5()
+    full = betweenness_table(g, directed=False).to_pandas()["centrality"]
+    samp = betweenness_table(g, directed=False, sample_probability=0.999999).to_pandas()[
+        "centrality"
+    ]
+    np.testing.assert_allclose(full, samp)
+
+
+def test_closeness_path3():
+    # path a-b-c undirected: closeness a = 2/(1+2) = 2/3, b = 1.0
+    ids = names_to_ids("a b c")
+    src, dst = edge_arrays([("a", "b"), ("b", "c")], ids)
+    g = GraphTables.from_arrays(src, dst)
+    t = closeness_table(g).to_pandas()
+    np.testing.assert_allclose(t["centrality"].values, [2 / 3, 1.0, 2 / 3])
+
+
+def test_harmonic_and_dangalchev_path3():
+    ids = names_to_ids("a b c")
+    src, dst = edge_arrays([("a", "b"), ("b", "c")], ids)
+    g = GraphTables.from_arrays(src, dst)
+    h = closeness_table(g, variant="harmonic").to_pandas()["centrality"].values
+    np.testing.assert_allclose(h, [(1 + 0.5) / 2, (1 + 1) / 2, (1 + 0.5) / 2])
+    dv = closeness_table(g, variant="dangalchev").to_pandas()["centrality"].values
+    np.testing.assert_allclose(dv, [0.5 + 0.25, 0.5 + 0.5, 0.5 + 0.25])
+
+
+def test_msbfs_many_sources():
+    # >64 vertices forces multiple bitmask batches
+    n = 100
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)  # path graph
+    t = closeness_table(g, variant="harmonic").to_pandas()
+    # middle vertex has highest harmonic closeness
+    assert t["centrality"].idxmax() == n // 2 or t["centrality"].idxmax() == n // 2 - 1
