@@ -23,3 +23,23 @@ Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def configure_ray_data() -> None:
+    """Engine-wide Ray Data context defaults.
+
+    HASH_SHUFFLE is required for key-based ``repartition`` (edge
+    co-occurrence grouping) and is the right strategy for this engine's
+    shuffles generally (hash-partitioned groupbys, no global order
+    needed). The strategy is captured by Datasets at creation time, so
+    it must be set before any Dataset in a pipeline is built — hence at
+    package import. Sorts are unaffected.
+    """
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
+
+configure_ray_data()

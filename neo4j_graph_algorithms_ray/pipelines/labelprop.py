@@ -109,9 +109,15 @@ def label_propagation(
             fn_kwargs={"lab_ref": lab_ref, "weighted": config.weighted},
         )
         if config.combine == "shuffle":
-            from ray.data.aggregate import Sum
+            # hash-partition by vertex: all votes for a vertex land in one
+            # block, so vote-fold AND argmax run distributed per block
+            def fold_argmax(df: pd.DataFrame) -> pd.DataFrame:
+                v = df.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
+                return _argmax_votes(v)
 
-            parts = parts.groupby(["idx", "lab"]).aggregate(Sum("w", alias_name="w"))
+            parts = parts.repartition(8, keys=["idx"]).map_batches(
+                fold_argmax, batch_format="pandas", batch_size=None
+            )
         chunks = [
             b.to_pandas()
             for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)
@@ -119,9 +125,11 @@ def label_propagation(
         new_labels = labels.copy()
         if chunks:
             votes = pd.concat(chunks, ignore_index=True)
-            if config.combine != "shuffle":
+            if config.combine == "shuffle":
+                best = votes  # already per-vertex argmax, disjoint blocks
+            else:
                 votes = votes.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
-            best = _argmax_votes(votes)
+                best = _argmax_votes(votes)
             new_labels[best["idx"].to_numpy()] = best["lab"].to_numpy()
         it += 1
         changed = new_labels != labels

@@ -125,11 +125,22 @@ def _combine_driver(parts, n: int, op: str, out: np.ndarray) -> np.ndarray:
     return out
 
 
-def _combine_shuffle(parts, n: int, op: str, out: np.ndarray) -> np.ndarray:
-    from ray.data.aggregate import Max, Min, Sum
+def _combine_shuffle(parts, n: int, op: str, out: np.ndarray, num_partitions: int = 8) -> np.ndarray:
+    """Distributed combine: hash-repartition partials by ``idx`` so each
+    key lands in exactly one block, fold per block with pandas (C speed —
+    Ray's ``groupby().aggregate`` costs ~1 ms per distinct group, measured
+    pathological at high key cardinality), then stream the disjoint folded
+    blocks into the dense vector."""
+    pd_op = {"sum": "sum", "min": "min", "max": "max"}[op]
 
-    agg = {"sum": Sum, "min": Min, "max": Max}[op]("val", alias_name="val")
-    small = parts.groupby("idx").aggregate(agg)
+    def fold(df):
+        import pandas as pd  # noqa: F401
+
+        return df.groupby("idx", sort=False, as_index=False)["val"].agg(pd_op)
+
+    small = parts.repartition(num_partitions, keys=["idx"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
     return _combine_driver(small, n, op, out)
 
 

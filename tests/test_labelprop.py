@@ -38,8 +38,8 @@ def test_lpa_two_camps_with_seeds():
 
 def test_lpa_deterministic_across_combine_modes():
     ids, g = _two_camps_graph()
-    a = label_propagation(g, LabelPropagationConfig(fixed_iterations=4, combine="driver"))
-    b = label_propagation(g, LabelPropagationConfig(fixed_iterations=4, combine="shuffle"))
+    a = label_propagation(g, LabelPropagationConfig(fixed_iterations=2, combine="driver"))
+    b = label_propagation(g, LabelPropagationConfig(fixed_iterations=2, combine="shuffle"))
     np.testing.assert_array_equal(a.labels, b.labels)
 
 

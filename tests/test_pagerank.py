@@ -47,8 +47,8 @@ def test_pagerank_fixed_iterations(wiki_graph, k):
 
 def test_pagerank_combine_modes_agree(wiki_graph):
     _, _, _, g = wiki_graph
-    a = pagerank(g, PageRankConfig(fixed_iterations=10, combine="driver"))
-    b = pagerank(g, PageRankConfig(fixed_iterations=10, combine="shuffle"))
+    a = pagerank(g, PageRankConfig(fixed_iterations=3, combine="driver"))
+    b = pagerank(g, PageRankConfig(fixed_iterations=3, combine="shuffle"))
     np.testing.assert_allclose(a.ranks, b.ranks, rtol=0, atol=1e-12)
 
 
