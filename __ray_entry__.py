@@ -1,44 +1,509 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (derived bipartite graph at
+sf0.001 → PageRank to 1e-6 convergence). ``queries()`` exposes one
+callable per implemented operator from SURVEY.md §2 (+ the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible one — identical column names, types and
+rounding. Ray is initialised by the driver BEFORE this module is
+imported; nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_RESULT_CACHE: dict = {}
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# ----------------------------------------------------------------------
+# graph queries
+# ----------------------------------------------------------------------
+def _graph(sf_dir: str, which: str):
+    from neo4j_graph_algorithms_ray.sources import tpch
+
+    return tpch.graph_for(sf_dir, which)
+
+
+def _q_degree_out(sf_dir: str) -> pa.Table:
+    g = _graph(sf_dir, "bipartite")
+    deg = g.out_degree().astype(np.int64)
+    keep = deg > 0
+    return pa.table({"vid": g.vids[keep], "out_deg": deg[keep]})
+
+
+def _q_degree_in(sf_dir: str) -> pa.Table:
+    g = _graph(sf_dir, "bipartite")
+    deg = g.in_degree().astype(np.int64)
+    keep = deg > 0
+    return pa.table({"vid": g.vids[keep], "in_deg": deg[keep]})
+
+
+def _q_edge_count(sf_dir: str) -> pa.Table:
+    g = _graph(sf_dir, "bipartite")
+    return pa.table({"num_edges": np.array([g.m], dtype=np.int64)})
+
+
+def _pagerank5(sf_dir: str):
+    key = ("pr5", sf_dir)
+    if key not in _RESULT_CACHE:
+        from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+            PageRankConfig,
+            pagerank,
+        )
+
+        g = _graph(sf_dir, "bipartite")
+        res = pagerank(g, PageRankConfig(fixed_iterations=5))
+        _RESULT_CACHE[key] = (g, np.round(res.ranks, 6))
+    return _RESULT_CACHE[key]
+
+
+def _q_pagerank_k5(sf_dir: str) -> pa.Table:
+    g, ranks = _pagerank5(sf_dir)
+    return pa.table({"vid": g.vids, "rank": ranks})
+
+
+def _q_top_pagerank_10(sf_dir: str) -> pa.Table:
+    g, ranks = _pagerank5(sf_dir)
+    order = np.lexsort((g.vids, -ranks))[:10]
+    return pa.table({"vid": g.vids[order], "rank": ranks[order]})
+
+
+def _q_wcc(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+
+    g = _graph(sf_dir, "bipartite")
+    res = wcc(g)
+    return pa.table({"vid": g.vids, "component": res.components})
+
+
+def _q_wcc_setcount(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+
+    g = _graph(sf_dir, "bipartite")
+    return pa.table({"set_count": np.array([wcc(g).set_count], dtype=np.int64)})
+
+
+def _q_lpa_k3(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import (
+        LabelPropagationConfig,
+        label_propagation,
+    )
+
+    g = _graph(sf_dir, "bipartite")
+    res = label_propagation(
+        g, LabelPropagationConfig(fixed_iterations=3, directed=False)
+    )
+    return pa.table({"vid": g.vids, "label": res.labels})
+
+
+def _q_scc(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.components import scc
+
+    g = _graph(sf_dir, "cyclic")
+    res = scc(g)
+    return pa.table({"vid": g.vids, "scc": res.components})
+
+
+def _q_bfs_depth(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.paths import bfs_depths
+
+    g = _graph(sf_dir, "cyclic")
+    depth = bfs_depths(g, int(g.vids[0]))
+    keep = depth >= 0
+    return pa.table({"vid": g.vids[keep], "depth": depth[keep]})
+
+
+def _tri(sf_dir: str):
+    key = ("tri", sf_dir)
+    if key not in _RESULT_CACHE:
+        from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+
+        g = _graph(sf_dir, "co_supplier")
+        _RESULT_CACHE[key] = (g, triangle_count(g))
+    return _RESULT_CACHE[key]
+
+
+def _q_triangle_count(sf_dir: str) -> pa.Table:
+    _, res = _tri(sf_dir)
+    return pa.table({"triangle_count": np.array([res.triangle_count], dtype=np.int64)})
+
+
+def _q_triangles_per_vertex(sf_dir: str) -> pa.Table:
+    g, res = _tri(sf_dir)
+    keep = res.triangles > 0
+    return pa.table({"vid": g.vids[keep], "triangles": res.triangles[keep]})
+
+
+def _q_avg_clustering(sf_dir: str) -> pa.Table:
+    _, res = _tri(sf_dir)
+    return pa.table(
+        {"avg_coefficient": np.array([round(res.average_coefficient, 6)])}
+    )
+
+
+# ----------------------------------------------------------------------
+# training-data pipeline queries
+# ----------------------------------------------------------------------
+def _q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir)).to_pandas()
+
+
+def _q_token_stats(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def _q_lang_counts(sf_dir: str) -> pd.DataFrame:
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lang", sort=False, as_index=False).size()
+        out.columns = ["lang", "n_docs"]
+        return out
+
+    parts = _docs(sf_dir).map_batches(part, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", sort=True, as_index=False)["n_docs"].sum()
+    return out.astype({"n_docs": "int64"})
+
+
+def _q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import ann_topk
+
+    top = ann_topk(_emb(sf_dir), [0, 1, 2, 3], k=5)
+    top["sim"] = top["sim"].round(4)
+    return top[["query_id", "vec_id", "rank", "sim"]]
+
+
+def _q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.windows import tumbling_window
+
+    t = tumbling_window(_events(sf_dir), window="1d").to_pandas()
+    t["sum_value"] = t["sum_value"].round(6)
+    return t
+
+
+# rows-only (no SQL-expressible oracle)
+def _q_minhash_groups(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.dedup import minhash_lsh_neardup
+
+    return minhash_lsh_neardup(_docs(sf_dir)).groups
+
+
+def _q_simhash_groups(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.dedup import simhash_neardup
+
+    return simhash_neardup(_docs(sf_dir)).groups
+
+
+def _q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import cosine_neardup
+
+    p = cosine_neardup(_emb(sf_dir), threshold=0.8)
+    p["sim"] = p["sim"].round(4)
+    return p
+
+
+def _q_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import lsh_topk
+
+    t = lsh_topk(_emb(sf_dir), [0, 1, 2, 3], k=5)
+    t["sim"] = t["sim"].round(4)
+    return t
+
+
+def _q_fingerprints(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import quality_scores
+
+    q = quality_scores(_docs(sf_dir)).to_pandas()
+    for c in ("mean_token_len", "alpha_ratio", "stopword_ratio", "quality"):
+        q[c] = q[c].round(6)
+    return q
+
+
+def _q_closeness(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.paths import closeness_table
+
+    g = _graph(sf_dir, "cyclic")
+    t = closeness_table(g, variant="harmonic", sources=np.arange(min(g.n, 64))).to_pandas()
+    t["centrality"] = t["centrality"].round(6)
+    return t
+
+
+def _q_betweenness(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.paths import betweenness_table
+
+    g = _graph(sf_dir, "cyclic")
+    t = betweenness_table(g, directed=True, sample_probability=0.03, seed=7).to_pandas()
+    t["centrality"] = t["centrality"].round(4)
+    return t
+
+
+def _q_sessionize(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
+
+    s = sessionize(_events(sf_dir), gap="30min").to_pandas()
+    return (
+        s.groupby("user_id", as_index=False)
+        .agg(n_sessions=("n_events", "size"), n_events=("n_events", "sum"))
+        .astype({"user_id": "int64", "n_sessions": "int64", "n_events": "int64"})
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 derived bipartite graph → PageRank to 1e-6."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        pagerank_table,
+    )
+
+    g = _graph("/root/testdata/sf0.001", "bipartite")
+    table = pagerank_table(g, PageRankConfig(tolerance=1e-6, max_iterations=100))
+    return rd.from_arrow(table)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # graph operators (SURVEY §2.2–2.5)
+        "degree_out": _q_degree_out,
+        "degree_in": _q_degree_in,
+        "edge_count_dedup": _q_edge_count,
+        "pagerank_k5": _q_pagerank_k5,
+        "top_pagerank_10": _q_top_pagerank_10,
+        "wcc": _q_wcc,
+        "wcc_setcount": _q_wcc_setcount,
+        "lpa_k3": _q_lpa_k3,
+        "scc": _q_scc,
+        "bfs_depth": _q_bfs_depth,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "avg_clustering_coefficient": _q_avg_clustering,
+        "closeness_harmonic_sampled": _q_closeness,
+        "betweenness_sampled": _q_betweenness,
+        # training-data operators
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "lang_counts": _q_lang_counts,
+        "ann_topk": _q_ann_topk,
+        "lsh_topk": _q_lsh_topk,
+        "events_tumbling_daily": _q_events_tumbling,
+        "sessionize": _q_sessionize,
+        "minhash_lsh_groups": _q_minhash_groups,
+        "simhash_groups": _q_simhash_groups,
+        "embedding_neardup": _q_embedding_neardup,
+        "doc_fingerprints": _q_fingerprints,
+        "lang_id_guess": _q_lang_id,
+        "quality_scores": _q_quality,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------------
+# DuckDB oracles — column names/types/rounding match the Ray results
+# ----------------------------------------------------------------------
+_E_BIP = """
+edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
+"""
+
+_E_CYC = """
+edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  UNION
+  SELECT s_suppkey * 2 + 1, c_custkey * 2
+  FROM supplier, customer WHERE s_nationkey = c_nationkey
+),
+vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
+"""
+
+_UND_COSUPP = """
+und AS (
+  SELECT DISTINCT a.dst AS u, b.dst AS v
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+),
+nb AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und)
+"""
+
+
+def _pagerank_cte(k: int) -> str:
+    parts = [
+        "deg AS (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src)",
+        "r0 AS (SELECT vid, 0.15::DOUBLE AS rank FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT v.vid, 0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s.c, 0::DOUBLE) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(r.rank / d.od) AS c
+    FROM r{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _lpa_cte(k: int) -> str:
+    parts = [
+        "und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)",
+        "l0 AS (SELECT vid, vid AS label FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""v{i} AS (
+  SELECT u.b AS vid, l.label, COUNT(*) AS w
+  FROM l{i-1} l JOIN und u ON u.a = l.vid GROUP BY u.b, l.label
+),
+b{i} AS (
+  SELECT vid, label,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY w DESC, label ASC) AS rn
+  FROM v{i}
+),
+l{i} AS (
+  SELECT v.vid, COALESCE(b.label, l.label) AS label
+  FROM vertices v JOIN l{i-1} l ON l.vid = v.vid
+  LEFT JOIN (SELECT vid, label FROM b{i} WHERE rn = 1) b ON b.vid = v.vid
+)"""
+        )
+    return ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "degree_out": f"WITH {_E_BIP} SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src",
+        "degree_in": f"WITH {_E_BIP} SELECT dst AS vid, COUNT(*) AS in_deg FROM edges GROUP BY dst",
+        "edge_count_dedup": f"WITH {_E_BIP} SELECT COUNT(*) AS num_edges FROM edges",
+        "pagerank_k5": f"WITH {_E_BIP}, {_pagerank_cte(5)} SELECT vid, ROUND(rank, 6) AS rank FROM r5",
+        "top_pagerank_10": f"WITH {_E_BIP}, {_pagerank_cte(5)} "
+        "SELECT vid, ROUND(rank, 6) AS rank FROM r5 "
+        "ORDER BY ROUND(rank, 6) DESC, vid LIMIT 10",
+        "wcc": f"""WITH RECURSIVE {_E_BIP},
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lbl AS (
+  SELECT vid, vid AS label FROM vertices
+  UNION
+  SELECT u.b AS vid, l.label FROM lbl l JOIN und u ON u.a = l.vid
+)
+SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid""",
+        "wcc_setcount": f"""WITH RECURSIVE {_E_BIP},
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lbl AS (
+  SELECT vid, vid AS label FROM vertices
+  UNION
+  SELECT u.b AS vid, l.label FROM lbl l JOIN und u ON u.a = l.vid
+),
+comp AS (SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid)
+SELECT COUNT(DISTINCT component) AS set_count FROM comp""",
+        "lpa_k3": f"WITH {_E_BIP}, {_lpa_cte(3)} SELECT vid, label FROM l3",
+        "scc": f"""WITH RECURSIVE {_E_CYC},
+reach AS (
+  SELECT vid AS s, vid AS v FROM vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.v
+)
+SELECT a.s AS vid, MIN(a.v) AS scc
+FROM reach a JOIN reach b ON a.s = b.v AND a.v = b.s
+GROUP BY a.s""",
+        "bfs_depth": f"""WITH RECURSIVE {_E_CYC},
+srcv AS (SELECT MIN(vid) AS s FROM vertices),
+r AS (
+  SELECT s AS v, 0::BIGINT AS d FROM srcv
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.v WHERE r.d < 30
+)
+SELECT v AS vid, MIN(d) AS depth FROM r GROUP BY v""",
+        "triangle_count": f"""WITH {_E_BIP}, {_UND_COSUPP}
+SELECT COUNT(*) AS triangle_count
+FROM und e1
+JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v""",
+        "triangles_per_vertex": f"""WITH {_E_BIP}, {_UND_COSUPP}
+SELECT n1.a AS vid, COUNT(*) AS triangles
+FROM nb n1
+JOIN nb n2 ON n2.a = n1.a AND n1.b < n2.b
+JOIN und e ON e.u = n1.b AND e.v = n2.b
+GROUP BY n1.a""",
+        "avg_clustering_coefficient": f"""WITH {_E_BIP}, {_UND_COSUPP},
+deg AS (SELECT a AS vid, COUNT(*) AS d FROM nb GROUP BY a),
+tri AS (
+  SELECT n1.a AS vid, COUNT(*) AS t
+  FROM nb n1
+  JOIN nb n2 ON n2.a = n1.a AND n1.b < n2.b
+  JOIN und e ON e.u = n1.b AND e.v = n2.b
+  GROUP BY n1.a
+)
+SELECT ROUND(AVG(CASE WHEN d.d > 1
+  THEN 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)) ELSE 0 END), 6) AS avg_coefficient
+FROM deg d LEFT JOIN tri t ON t.vid = d.vid""",
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
+        "token_stats": r"""SELECT doc_id,
+  length(regexp_extract_all(text, '\S+')) AS n_tokens,
+  length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+FROM documents""",
+        "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+        "ann_topk": """WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5""",
+        "events_tumbling_daily": """SELECT user_id,
+  date_trunc('day', ts) AS window_start,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY user_id, date_trunc('day', ts)""",
+    }

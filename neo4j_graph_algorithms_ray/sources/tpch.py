@@ -1,0 +1,183 @@
+"""Derived oracle-check graphs over the driver testdata (SURVEY.md §5.4).
+
+The driver testdata has no source-code corpus, so the oracle-checkable
+graphs derive deterministically from the TPC-H-ish tables, identically
+expressible in Ray Data and in DuckDB SQL (see ``__ray_entry__``):
+
+- BIPARTITE:  src = o_custkey*2, dst = l_suppkey*2+1 over
+  orders ⋈ lineitem, DISTINCT pairs. (*2 / *2+1 disambiguates the
+  overlapping custkey / suppkey id spaces.)
+- CYCLIC:     bipartite ∪ (s_suppkey*2+1 → c_custkey*2 for suppliers
+  and customers in the same nation) — adds back-edges so SCC/BFS have
+  nontrivial structure.
+- CO_SUPPLIER: undirected supplier–supplier edges (u < v) for suppliers
+  sharing at least one customer in the bipartite graph (the projection
+  that gives triangles a non-bipartite substrate).
+
+Join strategy: orders/supplier/customer are the SMALL sides → broadcast
+via ``ray.put`` (sorted-array binary search / per-nation dict), scanned
+side streams through ``map_batches`` (SURVEY.md §2.8 joins/lookups).
+Distinct/dedup uses per-block ``np.unique`` partials + driver fold
+(bounded by distinct-edge cardinality; the shuffle path is
+repartition-by-key + per-block dedup).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.graph import GraphTables
+
+_CACHE: dict = {}
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _distinct_pairs(ds: "rd.Dataset", src: str = "src", dst: str = "dst") -> pa.Table:
+    """Stream per-block unique packed pairs, fold on driver, unpack."""
+    SHIFT = np.int64(1) << np.int64(21)  # ids < 2^21 here; packed = src*2^21+dst
+
+    def part(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": np.unique(s * SHIFT + d)})
+
+    chunks = [
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    key = (
+        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+    )
+    return pa.table({src: key // SHIFT, dst: key % SHIFT})
+
+
+def bipartite_edges(sf_dir: str) -> pa.Table:
+    """DISTINCT (o_custkey*2 → l_suppkey*2+1)."""
+    k = ("bip", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    o = np.argsort(okeys)
+    lookup_ref = ray.put((okeys[o], ocust[o]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        ok, oc = ray.get(lookup_ref)
+        lo = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, lo)
+        return pa.table(
+            {"src": oc[pos] * 2, "dst": ls * 2 + 1}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    pairs = li.map_batches(join, batch_format="pyarrow", batch_size=None)
+    t = _distinct_pairs(pairs)
+    _CACHE[k] = t
+    return t
+
+
+def cyclic_edges(sf_dir: str) -> pa.Table:
+    """bipartite ∪ supplier→customer same-nation back-edges (DISTINCT)."""
+    k = ("cyc", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    bip = bipartite_edges(sf_dir)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    by_nation = {
+        int(nk): g["s_suppkey"].to_numpy(np.int64)
+        for nk, g in supp.groupby("s_nationkey")
+    }
+    nref = ray.put(by_nation)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        bn = ray.get(nref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        srcs, dsts = [], []
+        for c, nkey in zip(ck, nk):
+            ss = bn.get(int(nkey))
+            if ss is not None:
+                srcs.append(ss * 2 + 1)
+                dsts.append(np.full(len(ss), c * 2, dtype=np.int64))
+        if not srcs:
+            z = np.empty(0, np.int64)
+            return pa.table({"src": z, "dst": z})
+        return pa.table({"src": np.concatenate(srcs), "dst": np.concatenate(dsts)})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    back = cust.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    both = rd.from_arrow(bip).union(back)
+    t = _distinct_pairs(both)
+    _CACHE[k] = t
+    return t
+
+
+def co_supplier_edges(sf_dir: str) -> pa.Table:
+    """Undirected (u < v) supplier pairs sharing ≥1 customer."""
+    k = ("cosupp", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    bip = rd.from_arrow(bipartite_edges(sf_dir))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for _, grp in df.groupby("src", sort=False):
+            ss = np.unique(grp["dst"].to_numpy(np.int64))
+            if len(ss) < 2:
+                continue
+            i, j = np.triu_indices(len(ss), 1)
+            out_u.append(ss[i])
+            out_v.append(ss[j])
+        if not out_u:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
+            )
+        df2 = pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+        return df2.drop_duplicates()
+
+    # hash-partition by customer so each customer's supplier set is complete
+    pair_ds = bip.repartition(8, keys=["src"]).map_batches(
+        pairs, batch_format="pandas", batch_size=None
+    )
+    t = _distinct_pairs(pair_ds, "u", "v")
+    _CACHE[k] = t
+    return t
+
+
+def graph_for(sf_dir: str, which: str) -> GraphTables:
+    """Projected GraphTables per derived edge table (cached per sf_dir)."""
+    k = ("graph", which, sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    if which == "bipartite":
+        t = bipartite_edges(sf_dir)
+        g = GraphTables.from_dataset(rd.from_arrow(t))
+    elif which == "cyclic":
+        t = cyclic_edges(sf_dir)
+        g = GraphTables.from_dataset(rd.from_arrow(t))
+    elif which == "co_supplier":
+        t = co_supplier_edges(sf_dir)
+        g = GraphTables.from_dataset(rd.from_arrow(t), src="u", dst="v")
+    else:  # pragma: no cover
+        raise ValueError(which)
+    _CACHE[k] = g
+    return g
+
+
+def clear_cache() -> None:
+    _CACHE.clear()

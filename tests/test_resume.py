@@ -1,0 +1,76 @@
+import json
+import os
+
+import numpy as np
+
+from neo4j_graph_algorithms_ray.pipelines.pagerank import PageRankConfig, pagerank
+from neo4j_graph_algorithms_ray.state.checkpoint import (
+    CheckpointConfig,
+    latest_complete,
+    load_iteration,
+)
+from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+from .conftest import PAGERANK_WIKI_EDGES, PAGERANK_WIKI_NODES, edge_arrays, names_to_ids
+
+
+def _graph():
+    ids = names_to_ids(PAGERANK_WIKI_NODES)
+    src, dst = edge_arrays(PAGERANK_WIKI_EDGES, ids)
+    return GraphTables.from_arrays(src, dst)
+
+
+def test_resume_midrun_bit_identical(tmp_path):
+    g = _graph()
+    # uninterrupted run
+    full = pagerank(g, PageRankConfig(fixed_iterations=12))
+
+    # interrupted run: stop ("kill") after 3 iterations, checkpointing on
+    ck = CheckpointConfig(dir=str(tmp_path / "ck"), every=1)
+    part = pagerank(g, PageRankConfig(fixed_iterations=3, checkpoint=ck))
+    assert latest_complete(ck) == 3
+
+    # resume to 12 — must be BIT-identical to the uninterrupted run
+    resumed = pagerank(g, PageRankConfig(fixed_iterations=12, checkpoint=ck))
+    assert resumed.iterations == 12
+    assert np.array_equal(full.ranks, resumed.ranks)  # exact, not allclose
+
+    # lineage: rows complete, checksums verify on load
+    vids, vectors, lineage = load_iteration(ck, 12)
+    assert lineage["rows"] == g.n
+    assert sum(p["rows"] for p in lineage["partitions"]) == g.n
+    np.testing.assert_array_equal(vectors["rank"], resumed.ranks)
+    # metrics recorded per iteration
+    with open(os.path.join(ck.dir, "iter=00012", "metrics.json")) as f:
+        m = json.load(f)
+    assert m["iteration"] == 12 and "delta" in m and "edges_per_sec" in m
+
+
+def test_resume_ignores_incomplete_iteration(tmp_path):
+    g = _graph()
+    ck = CheckpointConfig(dir=str(tmp_path / "ck"), every=1)
+    pagerank(g, PageRankConfig(fixed_iterations=2, checkpoint=ck))
+    # simulate a crash mid-write: iteration dir without _SUCCESS
+    broken = tmp_path / "ck" / "iter=00003"
+    broken.mkdir()
+    (broken / "state.parquet").write_bytes(b"garbage")
+    assert latest_complete(ck) == 2
+    resumed = pagerank(g, PageRankConfig(fixed_iterations=5, checkpoint=ck))
+    full = pagerank(g, PageRankConfig(fixed_iterations=5))
+    assert np.array_equal(full.ranks, resumed.ranks)
+
+
+def test_checkpoint_corruption_detected(tmp_path):
+    g = _graph()
+    ck = CheckpointConfig(dir=str(tmp_path / "ck"), every=1)
+    pagerank(g, PageRankConfig(fixed_iterations=1, checkpoint=ck))
+    # flip lineage checksum → load must fail loudly
+    lin_path = tmp_path / "ck" / "iter=00001" / "lineage.json"
+    lineage = json.loads(lin_path.read_text())
+    lineage["partitions"][0]["checksum"] ^= 0xFF
+    lin_path.write_text(json.dumps(lineage))
+    try:
+        load_iteration(ck, 1)
+        raise AssertionError("corruption not detected")
+    except IOError as e:
+        assert "checksum" in str(e)
