@@ -1,0 +1,194 @@
+"""Benchmark harness (driver contract).
+
+Headline metric (BASELINE.json): PageRank iterations/sec and
+edges-processed/sec to 1e-6 convergence on the repo-link edge table —
+run over a deterministic synthetic corpus (seed 42) sized to the sf of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), plus per-query
+timings of the oracle-checked pipelines over the sf dir tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...extras}
+
+``--scaling``: runs the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for N vs 4N
+cluster nodes — BASELINE.md §3; this VM exposes 1 physical CPU, so the
+numbers evidence the harness, not real parallel speedup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus sizing per sf: ~lineitem-scale row counts
+_CORPUS_REPOS = {"0.001": 300, "0.01": 3000, "0.1": 20000}
+_BENCH_QUERIES = [
+    "pagerank_k5",
+    "wcc",
+    "scc",
+    "lpa_k3",
+    "triangle_count",
+    "bfs_depth",
+    "dedup_exact",
+    "minhash_lsh_groups",
+    "token_stats",
+    "ann_topk",
+    "events_tumbling_daily",
+    "sessionize",
+]
+
+
+def _sf_token() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def corpus_dir(sf: str, repos: int) -> str:
+    return f"/tmp/raygraph_bench/corpus_sf{sf}_r{repos}"
+
+
+def headline(sf: str) -> dict:
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        pagerank,
+    )
+    from neo4j_graph_algorithms_ray.sources.corpus import (
+        CorpusSpec,
+        derive_repo_links,
+        generate_corpus,
+    )
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    repos = _CORPUS_REPOS.get(sf, 3000)
+    spec = CorpusSpec(repos=repos)
+    cdir = corpus_dir(sf, repos)
+    if not os.path.exists(os.path.join(cdir, "..done")):
+        generate_corpus(cdir, spec)
+        open(os.path.join(cdir, "..done"), "w").close()
+
+    t0 = time.perf_counter()
+    corpus = rd.read_parquet(cdir)
+    derived = derive_repo_links(corpus, max_group_size=1000)
+    t_derive = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    g = GraphTables.from_dataset(
+        derived.edges,
+        weight="weight",
+        extra_vids=derived.vertices["vid"].to_numpy(),
+    )
+    t_project = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = pagerank(g, PageRankConfig(tolerance=1e-6, max_iterations=200))
+    t_pr = time.perf_counter() - t0
+    return {
+        "seconds": t_pr,
+        "derive_seconds": t_derive,
+        "project_seconds": t_project,
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "vertices": g.n,
+        "edges": g.m,
+        "iterations_per_sec": res.iterations / t_pr if t_pr > 0 else None,
+        "edges_per_sec": res.iterations * g.m / t_pr if t_pr > 0 else None,
+    }
+
+
+def run_queries() -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in _BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        # consume lazy datasets so the timing is real
+        if hasattr(res, "count") and not hasattr(res, "columns"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    sf = _sf_token()
+    head = headline(sf)
+    queries = run_queries()
+    result = {
+        "metric": "pagerank_repo_link_convergence_1e-6_seconds",
+        "value": round(head["seconds"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo = results[lo]["value"]
+    t_hi = results[hi]["value"]
+    thr_lo = results[lo]["headline"]["edges_per_sec"]
+    thr_hi = results[hi]["headline"]["edges_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo else None
+    print(
+        json.dumps(
+            {
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"edges_per_sec_{lo}": thr_lo,
+                f"edges_per_sec_{hi}": thr_hi,
+                "scaling_efficiency": round(eff, 3) if eff else None,
+                "note": "fresh ray.init per level; single-node sandbox "
+                "substitute for N vs 4N cluster sizes (1 physical CPU)",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

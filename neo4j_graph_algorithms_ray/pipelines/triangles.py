@@ -165,10 +165,48 @@ def triangle_stream(graph: GraphTables) -> "rd.Dataset":
     ).map_batches(to_vids, batch_format="pyarrow", batch_size=None)
 
 
-def triangle_count(graph: GraphTables) -> TriangleResult:
+def _triangle_counts_dense(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
+    """Small-graph kernel: per-vertex triangle counts via one BLAS
+    matmul — ((A@A) ∘ A).rowsum / 2. Exact; O(n³) flops but tiny
+    constants, so it beats the wedge pipeline up to a few thousand
+    vertices (it is the analog of the reference keeping a sequential
+    Tarjan/intersection kernel for small graphs next to the parallel
+    one)."""
+    A = np.zeros((n, n), dtype=np.float32)
+    A[u, v] = 1.0
+    A[v, u] = 1.0
+    return (((A @ A) * A).sum(axis=1) / 2.0).astype(np.int64)
+
+
+_DENSE_KERNEL_MAX_N = 4096
+
+
+def triangle_count(graph: GraphTables, kernel: str = "auto") -> TriangleResult:
+    """``kernel``: "auto" picks dense ≤4096 vertices, else the wedge
+    semi-join; "dense"/"wedge" force a path (tests assert agreement)."""
     t0 = time.perf_counter()
     n = graph.n
     u, v = canonical_undirected(graph)
+    use_dense = kernel == "dense" or (kernel == "auto" and n <= _DENSE_KERNEL_MAX_N)
+    if n and use_dense:
+        deg = (np.bincount(u, minlength=n) + np.bincount(v, minlength=n)).astype(
+            np.int64
+        )
+        tri = _triangle_counts_dense(u, v, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coeff = np.where(deg > 1, 2.0 * tri / (deg * (deg - 1.0)), 0.0)
+        return TriangleResult(
+            triangles=tri,
+            coefficients=coeff,
+            triangle_count=int(tri.sum() // 3),
+            average_coefficient=float(coeff.mean()) if n else 0.0,
+            node_count=n,
+            metrics={
+                "seconds": time.perf_counter() - t0,
+                "edges_canonical": len(u),
+                "kernel": "dense",
+            },
+        )
     indptr, nbrs, ekeys, deg = _oriented_csr(u, v, n)
     csr_ref = ray.put((indptr, nbrs, ekeys))
 

@@ -55,14 +55,17 @@ def test_triangles_random_vs_bruteforce():
     src = rng.integers(0, n, m).astype(np.int64)
     dst = rng.integers(0, n, m).astype(np.int64)
     g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
-    res = triangle_count(g)
     u = np.minimum(src, dst)
     v = np.maximum(src, dst)
     keep = u != v
     key = np.unique(u[keep] * n + v[keep])
     oracle = triangle_count_numpy_oracle(key // n, key % n, n)
-    np.testing.assert_array_equal(res.triangles, oracle)
-    assert res.triangle_count == oracle.sum() // 3
+    # both kernels must agree with brute force (cross-representation
+    # agreement, SURVEY §5.2)
+    for kernel in ("dense", "wedge"):
+        res = triangle_count(g, kernel=kernel)
+        np.testing.assert_array_equal(res.triangles, oracle)
+        assert res.triangle_count == oracle.sum() // 3
 
 
 def test_triangles_zipf_hub():
@@ -73,7 +76,7 @@ def test_triangles_zipf_hub():
     dst = rng.integers(0, n, 1500).astype(np.int64)
     src[::5] = 7  # hub
     g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
-    res = triangle_count(g)
+    res = triangle_count(g, kernel="wedge")  # exercise the distributed path
     u = np.minimum(src, dst)
     v = np.maximum(src, dst)
     keep = u != v
