@@ -88,10 +88,13 @@ def minhash_lsh_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> NearDupResult:
     """MinHash+LSH near-duplicate detection.
+
+    Default 16 bands × 4 rows: the LSH s-curve midpoint is
+    (1/bands)^(1/rows) ≈ 0.5, matched to the default ``threshold``.
 
     shingle → minhash per batch; explode to (band_id, band_hash, doc_id,
     signature); hash-repartition on band_hash; per-block bucket scan

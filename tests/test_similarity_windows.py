@@ -1,0 +1,126 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.pipelines.similarity import (
+    ann_topk,
+    cosine_neardup,
+    lsh_topk,
+)
+from neo4j_graph_algorithms_ray.pipelines.windows import sessionize, tumbling_window
+from neo4j_graph_algorithms_ray.stages.multimodal import (
+    decode_features,
+    frame_sample_stage,
+)
+
+
+def _embeddings(n=60, dim=16, seed=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    m[1] = m[0] + 0.01 * rng.standard_normal(dim)  # near-dup pair (0, 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [row.tolist() for row in m],
+            }
+        )
+    ), m
+
+
+def test_ann_topk_exact_vs_numpy():
+    ds, m = _embeddings()
+    top = ann_topk(ds, [0, 5], k=3)
+    mm = m.astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    for q in (0, 5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = np.lexsort((np.arange(len(s)), -s))[:3]
+        got = top[top["query_id"] == q]["vec_id"].to_numpy()
+        np.testing.assert_array_equal(got, expect)
+    assert top[(top.query_id == 0) & (top["rank"] == 1)]["vec_id"].iloc[0] == 1
+
+
+def test_lsh_topk_recall():
+    ds, _ = _embeddings(n=100)
+    exact = ann_topk(ds, [0, 1, 2], k=5)
+    approx = lsh_topk(ds, [0, 1, 2], k=5, planes=8, probes=3)
+    # recall@5 ≥ 0.5 on this easy set
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_cosine_neardup_finds_pair():
+    ds, _ = _embeddings()
+    pairs = cosine_neardup(ds, threshold=0.95)
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def _events():
+    ts = pd.date_range("2024-01-01", periods=100, freq="7min")
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": np.tile(np.arange(4, dtype=np.int64), 25),
+                "ts": ts,
+                "value": np.ones(100),
+            }
+        )
+    )
+
+
+def test_tumbling_window_counts():
+    out = tumbling_window(_events(), window="1h").to_pandas()
+    # pandas oracle
+    df = _events().to_pandas()
+    oracle = (
+        df.groupby(["user_id", df["ts"].dt.floor("1h")])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .rename(columns={"ts": "window_start"})
+    )
+    a = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    b = oracle.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["user_id", "window_start", "n_events", "sum_value"]],
+        b[["user_id", "window_start", "n_events", "sum_value"]],
+        check_dtype=False,
+    )
+
+
+def test_sessionize_gap_split():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00", "2024-01-01 02:05"]
+    )
+    ev = rd.from_arrow(
+        pa.table({"user_id": np.array([7, 7, 7, 7], dtype=np.int64), "ts": ts})
+    )
+    out = sessionize(ev, gap="30min").to_pandas()
+    assert len(out) == 2
+    assert out["n_events"].tolist() == [2, 2]
+
+
+def test_multimodal_decode_stage():
+    payloads = [bytes([i]) * (1024 * (i + 1)) for i in range(5)]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": np.arange(5, dtype=np.int64),
+                "kind": ["image"] * 5,
+                "payload": payloads,
+            }
+        )
+    )
+    out = decode_features(media, target_size=8, concurrency=1).to_pandas()
+    assert len(out) == 5
+    assert all(len(f) == 6 for f in out["feature"])  # 3 means + 3 stds
+    # deterministic across runs (hash-seeded fake decode)
+    out2 = decode_features(media, target_size=8, concurrency=1).to_pandas()
+    assert np.allclose(np.stack(out["feature"]), np.stack(out2["feature"]))
+    frames = frame_sample_stage(media, every_n=2).to_pandas()
+    assert (frames.groupby("media_id").size().values == [1, 1, 2, 2, 3]).all()
