@@ -128,15 +128,58 @@ def _min_label_rounds(edges, n: int, labels: np.ndarray, token: str, combine: st
         labels = new
 
 
+def _jump(labels: np.ndarray) -> np.ndarray:
+    """Pointer jumping to fixpoint (labels always point within-component)."""
+    while True:
+        j = labels[labels]
+        if (j == labels).all():
+            return labels
+        labels = j
+
+
+def _wcc_actor(graph: GraphTables, reduce_local: bool) -> tuple[np.ndarray, int]:
+    """Min-label rounds against the stateful shard pool (state.shards):
+    per-shard local-CC star contraction once, then per-round undirected
+    min propagation + driver pointer jumping."""
+    sg = graph.sharded()
+    labels = np.arange(graph.n, dtype=np.int64)
+    rounds = 0
+    while True:
+        new = sg.min_round(labels, use_star=reduce_local)
+        new = _jump(new)
+        rounds += 1
+        if (new == labels).all():
+            return labels, rounds
+        labels = new
+
+
 def wcc(
     graph: GraphTables,
     *,
     threshold: Optional[float] = None,
     reduce_local: bool = True,
     combine: str = "driver",
+    engine: str = "auto",
 ) -> ComponentsResult:
     t0 = time.perf_counter()
     n = graph.n
+    use_actor = threshold is None and (
+        engine == "actor" or (engine == "auto" and graph.m >= 50_000)
+    )
+    if use_actor:
+        labels, rounds = _wcc_actor(graph, reduce_local)
+        vids = graph.vids
+        return ComponentsResult(
+            labels=labels,
+            components=vids[labels] if n else np.empty(0, dtype=np.int64),
+            set_count=int(len(np.unique(labels))) if n else 0,
+            rounds=rounds,
+            metrics={
+                "seconds": time.perf_counter() - t0,
+                "reduce_local": reduce_local,
+                "engine": "actor",
+            },
+        )
     edges = graph.edges
     if threshold is not None:
         if not graph.weighted:
@@ -212,10 +255,59 @@ class SCCResult:
     metrics: dict = field(default_factory=dict)
 
 
-def scc(graph: GraphTables, combine: str = "driver") -> SCCResult:
+def _scc_fwd_round(edges, n: int, color: np.ndarray, active: np.ndarray, combine: str) -> np.ndarray:
+    c_ref = ray.put(color)
+    a_ref = ray.put(active)
+
+    def fwd_partial(batch: pa.Table, _c=c_ref, _a=a_ref) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False)
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        col = ray.get(_c)
+        act = ray.get(_a)
+        m = act[si] & act[di]
+        if not m.any():
+            return pa.table(
+                {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
+            )
+        idx, mins = group_min(di[m], col[si[m]])
+        return pa.table({"idx": idx, "val": mins})
+
+    return scatter_combine(
+        edges, fwd_partial, n, op="min", combine=combine,
+        init=color.copy(), dtype=np.int64,
+    )
+
+
+def _scc_bwd_round(edges, n: int, reached: np.ndarray, color: np.ndarray, combine: str) -> np.ndarray:
+    r_ref = ray.put(reached)
+    c_ref = ray.put(color)
+
+    def bwd_partial(batch: pa.Table, _r=r_ref, _c=c_ref) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False)
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        rch = ray.get(_r)
+        col = ray.get(_c)
+        m = rch[di] & ~rch[si] & (col[si] == col[di]) & (col[si] < len(col))
+        if not m.any():
+            return pa.table(
+                {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
+            )
+        idx = np.unique(si[m])
+        return pa.table({"idx": idx, "val": np.ones(len(idx), np.int64)})
+
+    hits = scatter_combine(
+        edges, bwd_partial, n, op="max", combine=combine,
+        init=np.zeros(n, dtype=np.int64), dtype=np.int64,
+    )
+    return reached | (hits > 0)
+
+
+def scc(graph: GraphTables, combine: str = "driver", engine: str = "auto") -> SCCResult:
     t0 = time.perf_counter()
     n = graph.n
     edges = graph.edges
+    use_actor = engine == "actor" or (engine == "auto" and graph.m >= 50_000)
+    sg = graph.sharded() if use_actor else None
     sccid = np.full(n, -1, dtype=np.int64)  # dense idx of scc min member
     active = np.ones(n, dtype=bool)
     outer = 0
@@ -225,26 +317,10 @@ def scc(graph: GraphTables, combine: str = "driver") -> SCCResult:
         # ---- forward min-label: color[v] = min active vertex reaching v
         color = np.where(active, np.arange(n, dtype=np.int64), SENT)
         while True:
-            c_ref = ray.put(color)
-            a_ref = ray.put(active)
-
-            def fwd_partial(batch: pa.Table, _c=c_ref, _a=a_ref) -> pa.Table:
-                si = batch["si"].to_numpy(zero_copy_only=False)
-                di = batch["di"].to_numpy(zero_copy_only=False)
-                col = ray.get(_c)
-                act = ray.get(_a)
-                m = act[si] & act[di]
-                if not m.any():
-                    return pa.table(
-                        {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
-                    )
-                idx, mins = group_min(di[m], col[si[m]])
-                return pa.table({"idx": idx, "val": mins})
-
-            new = scatter_combine(
-                edges, fwd_partial, n, op="min", combine=combine,
-                init=color.copy(), dtype=np.int64,
-            )
+            if use_actor:
+                new = sg.fwd_min(color, active)
+            else:
+                new = _scc_fwd_round(edges, n, color, active, combine)
             # pointer jumping: color[v] (an active ancestor of v) can adopt
             # ITS minimal known ancestor, still an ancestor of v
             while True:
@@ -260,27 +336,10 @@ def scc(graph: GraphTables, combine: str = "driver") -> SCCResult:
         idx_arr = np.arange(n, dtype=np.int64)
         reached = active & (color == idx_arr)
         while True:
-            r_ref = ray.put(reached)
-            c_ref = ray.put(color)
-
-            def bwd_partial(batch: pa.Table, _r=r_ref, _c=c_ref) -> pa.Table:
-                si = batch["si"].to_numpy(zero_copy_only=False)
-                di = batch["di"].to_numpy(zero_copy_only=False)
-                rch = ray.get(_r)
-                col = ray.get(_c)
-                m = rch[di] & ~rch[si] & (col[si] == col[di]) & (col[si] < len(col))
-                if not m.any():
-                    return pa.table(
-                        {"idx": np.empty(0, np.int64), "val": np.empty(0, np.int64)}
-                    )
-                idx = np.unique(si[m])
-                return pa.table({"idx": idx, "val": np.ones(len(idx), np.int64)})
-
-            hits = scatter_combine(
-                edges, bwd_partial, n, op="max", combine=combine,
-                init=np.zeros(n, dtype=np.int64), dtype=np.int64,
-            )
-            new_reached = reached | (hits > 0)
+            if use_actor:
+                new_reached = sg.bwd_reach(reached, color)
+            else:
+                new_reached = _scc_bwd_round(edges, n, reached, color, combine)
             if (new_reached == reached).all():
                 break
             reached = new_reached

@@ -47,6 +47,7 @@ class LabelPropagationConfig:
     directed: bool = False  # reference default direction is OUTGOING;
     # undirected (BOTH) is what the community fixtures use
     combine: str = "driver"  # or "shuffle"
+    engine: str = "auto"  # "actor" (state.shards pool) | "dataflow" | "auto"
 
 
 @dataclass
@@ -92,6 +93,9 @@ def label_propagation(
     if seeds is not None:
         seeded = seeds >= 0
         labels[seeded] = seeds[seeded]
+    use_actor = config.engine == "actor" or (
+        config.engine == "auto" and graph.m >= 50_000
+    )
     edges = graph.edges if config.directed else graph.edges_both()
     max_iters = (
         config.fixed_iterations
@@ -100,6 +104,24 @@ def label_propagation(
     )
     it = 0
     converged = False
+    if use_actor:
+        sg = graph.sharded()
+        while it < max_iters:
+            new_labels = sg.lpa_round(
+                labels, weighted=config.weighted, directed=config.directed
+            )
+            it += 1
+            changed = new_labels != labels
+            labels = new_labels
+            if config.fixed_iterations is None and not changed.any():
+                converged = True
+                break
+        return LabelPropagationResult(
+            labels=labels,
+            iterations=it,
+            converged=converged,
+            metrics={"seconds": time.perf_counter() - t0, "engine": "actor"},
+        )
     while it < max_iters:
         lab_ref = ray.put(labels)
         parts = edges.map_batches(

@@ -57,6 +57,13 @@ class PageRankConfig:
     fixed_iterations: Optional[int] = None  # reference-style fixed count
     weighted: bool = False
     combine: str = "driver"  # or "shuffle"
+    # "actor": per-round calls against the stateful shard pool
+    # (state.shards — per-partition CSR in long-lived actors, the north
+    # star's actor-pool path; ~10 ms fixed cost per round);
+    # "dataflow": per-round map_batches + combine (fresh streaming
+    # execution per round); "auto": actor for materialized graphs above
+    # a small size floor, else dataflow.
+    engine: str = "auto"
     checkpoint: Optional[CheckpointConfig] = None
 
 
@@ -84,11 +91,25 @@ def _make_partial(ranks_ref, invdeg_ref, token: str, weighted: bool):
     return partial
 
 
+def _use_actor_engine(graph: GraphTables, engine: str) -> bool:
+    if engine == "actor":
+        return True
+    if engine == "dataflow":
+        return False
+    return graph.m >= 50_000  # "auto": round-trip cost amortized
+
+
 def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> PageRankResult:
     n = graph.n
     d = config.damping
     alpha = 1.0 - d
-    deg = graph.out_degree(weighted=config.weighted)
+    use_actor = _use_actor_engine(graph, config.engine)
+    sg = graph.sharded() if use_actor else None
+    deg = (
+        sg.degree("out", weighted=config.weighted)
+        if use_actor
+        else graph.out_degree(weighted=config.weighted)
+    )
     with np.errstate(divide="ignore"):
         invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
     invdeg_ref = ray.put(invdeg)
@@ -116,11 +137,14 @@ def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> P
     it = start_iter
     while it < max_iters:
         t0 = time.perf_counter()
-        ranks_ref = ray.put(ranks)
-        partial = _make_partial(ranks_ref, invdeg_ref, token, config.weighted)
-        acc = scatter_combine(
-            graph.edges, partial, n, op="sum", combine=config.combine
-        )
+        if use_actor:
+            acc = sg.scatter_sum(ranks, mul=invdeg_ref, weighted=config.weighted)
+        else:
+            ranks_ref = ray.put(ranks)
+            partial = _make_partial(ranks_ref, invdeg_ref, token, config.weighted)
+            acc = scatter_combine(
+                graph.edges, partial, n, op="sum", combine=config.combine
+            )
         new_ranks = alpha + d * acc
         delta = float(np.abs(new_ranks - ranks).sum())
         ranks = new_ranks

@@ -222,16 +222,20 @@ def derive_repo_links(
         mapping = ray.get(vid_ref)
         vids = df["repo"].map(mapping).to_numpy(dtype=np.int64)
         keys, key_codes = np.unique(df["key"].to_numpy(), return_inverse=True)
-        order = np.argsort(key_codes, kind="stable")
-        kc, vv = key_codes[order], vids[order]
+        # distinct (key, repo) pairs, grouped by key — all vectorized;
+        # the loop below touches only the qualifying (2 ≤ k ≤ cap)
+        # groups, never the singleton long tail
+        kv = np.unique(np.stack([key_codes, vids], axis=1), axis=0)
+        kc, vv = kv[:, 0], kv[:, 1]
         bounds = np.searchsorted(kc, np.arange(len(keys) + 1))
+        sizes = np.diff(bounds)
+        good = sizes >= 2
+        if max_group_size is not None:
+            good &= sizes <= max_group_size
         out_s, out_d = [], []
-        for gi in range(len(keys)):
-            grp = np.unique(vv[bounds[gi] : bounds[gi + 1]])
-            k = len(grp)
-            if k < 2 or (max_group_size is not None and k > max_group_size):
-                continue
-            i, j = np.triu_indices(k, 1)
+        for gi in np.flatnonzero(good):
+            grp = vv[bounds[gi] : bounds[gi + 1]]
+            i, j = np.triu_indices(len(grp), 1)
             out_s.append(grp[i])
             out_d.append(grp[j])
         if not out_s:
@@ -247,30 +251,23 @@ def derive_repo_links(
         part["weight"] = part.pop("size").astype(np.float64)
         return part
 
-    parted = links.repartition(8, keys=["key"])  # needs HASH_SHUFFLE (pkg init)
+    parted = links.repartition(16, keys=["key"])  # needs HASH_SHUFFLE (pkg init)
     partials = parted.map_batches(block_pairs, batch_format="pandas", batch_size=None)
-    # final fold: distinct-edge cardinality, driver-side pandas
-    # (scale path: second repartition(keys=["src","dst"]) + per-block fold)
-    chunks = [
-        b.to_pandas()
-        for b in partials.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    if chunks:
-        folded = (
-            pd.concat(chunks, ignore_index=True)
-            .groupby(["src", "dst"], sort=True, as_index=False)["weight"]
-            .sum()
-        )
-        folded = folded[folded["weight"] >= min_weight]
-    else:
-        folded = pd.DataFrame(
-            {"src": pd.Series([], dtype="int64"),
-             "dst": pd.Series([], dtype="int64"),
-             "weight": pd.Series([], dtype="float64")}
-        )
-    edges = rd.from_arrow(
-        pa.Table.from_pandas(folded, preserve_index=False)
-    ).materialize()
+
+    # final fold: hash-partition partials by (src,dst) so each edge lands
+    # in exactly one block, fold per block (distributed — the edge table
+    # never gathers on the driver), stay materialized for projection
+    def fold_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], sort=False, as_index=False)["weight"].sum()
+        if min_weight > 0:
+            out = out[out["weight"] >= min_weight]
+        return out
+
+    edges = (
+        partials.repartition(32, keys=["src", "dst"])
+        .map_batches(fold_edges, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
     return DerivedGraph(
         vertices=vertices,
         edges=edges,

@@ -81,6 +81,18 @@ class GraphTables:
     m: int
     token: str = field(default_factory=lambda: uuid.uuid4().hex)
     weighted: bool = False
+    _sharded: object = field(default=None, repr=False, compare=False)
+
+    def sharded(self, num_shards: Optional[int] = None):
+        """Memoized stateful actor pool over the materialized edge blocks
+        (state.shards) — built once, reused by every iterative kernel on
+        this graph (the analog of the reference running many procedures
+        against one loaded ``Graph`` projection)."""
+        if self._sharded is None:
+            from .shards import ShardedGraph
+
+            self._sharded = ShardedGraph.from_graph(self, num_shards)
+        return self._sharded
 
     # ------------------------------------------------------------------
     # construction

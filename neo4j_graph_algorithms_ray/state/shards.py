@@ -1,0 +1,392 @@
+"""Sharded actor-pool execution for iterative kernels.
+
+The north star names this component directly: "materializes
+per-partition CSR adjacency blocks inside stateful actor-pool workers".
+The reference keeps the projected graph in-heap and runs many iterations
+over it (``algo/.../impl/PageRank.java`` ``ComputeStep`` threads over a
+shared ``AdjacencyMatrix``); the Ray analog here is a pool of long-lived
+actors, each holding the CSR-grouped numpy views of a slice of the
+materialized edge Dataset's blocks, built ONCE (``__init__``-time, like
+``map_batches(Cls)`` actor setup) and reused every round.
+
+Why this exists next to the ``map_batches`` dataflow path
+(``state.dense.scatter_combine``): a fresh Ray Data streaming execution
+costs ~0.2-0.3 s of fixed driver-side work (plan optimization, executor
+spin-up/teardown) PER ITERATION — pure serial time under Amdahl, which
+caps N→4N scaling efficiency far below the 0.8 target unless each
+iteration carries tens of seconds of parallel compute. A round against
+the shard pool is: ``ray.put`` the per-vertex vector once, one async
+actor call per shard (the vector ObjectRef is auto-dereferenced —
+zero-copy plasma read per actor), each shard reduces its edges to a
+pre-aggregated partial, driver folds the partials. Serial cost ~10 ms.
+
+Both paths implement identical semantics and are cross-checked in tests
+(cross-representation agreement, SURVEY.md §5.2, mirroring the
+reference's parameterized Heavy/Light/View test matrix). Kernels choose
+via ``engine="auto"``: actor pool for materialized graphs above a size
+floor, dataflow otherwise.
+
+Multi-node note: shard actors are placed by Ray across the cluster; each
+holds only its slice (~|E|/P edges). The driver-held dense vector is the
+same O(n) envelope the dense combine already assumes (SURVEY §1.3); the
+upgrade path at >10^9 vertices is range-sharded vectors owned by the
+actors themselves with the same round protocol.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import ray
+
+
+def _group_structure(idx: np.ndarray):
+    """Sort-based grouping: (order, uniq, starts) for reduceat folds."""
+    order = np.argsort(idx, kind="stable")
+    sorted_idx = idx[order]
+    if len(sorted_idx):
+        first = np.ones(len(sorted_idx), dtype=bool)
+        first[1:] = sorted_idx[1:] != sorted_idx[:-1]
+        starts = np.flatnonzero(first)
+        uniq = sorted_idx[starts]
+    else:
+        starts = np.empty(0, dtype=np.int64)
+        uniq = np.empty(0, dtype=np.int64)
+    return order, uniq, starts
+
+
+class _EdgeShard:
+    """One shard: CSR-grouped numpy views of a set of edge blocks.
+
+    All per-round methods take dense per-vertex numpy vectors (passed as
+    ObjectRefs, auto-dereferenced zero-copy) and return PRE-AGGREGATED
+    partials — one row per touched vertex, never per edge.
+    """
+
+    def __init__(self, spans: list, weighted: bool):
+        """``spans``: list of ``(block_ref, offset, length)`` — this shard
+        owns contiguous row ranges of specific blocks, so shard count is
+        independent of the Dataset's physical block count (a shard never
+        fetches blocks it doesn't own; Arrow ``slice`` is zero-copy)."""
+        tables = []
+        for ref, off, ln in spans:
+            t = ray.get(ref)
+            if ln:
+                tables.append(t.slice(off, ln))
+        tables = [t for t in tables if t.num_rows]
+        if tables:
+            self.si = np.concatenate(
+                [t["si"].to_numpy(zero_copy_only=False) for t in tables]
+            )
+            self.di = np.concatenate(
+                [t["di"].to_numpy(zero_copy_only=False) for t in tables]
+            )
+            self.w = (
+                np.concatenate([t["w"].to_numpy(zero_copy_only=False) for t in tables])
+                if weighted
+                else None
+            )
+        else:
+            self.si = np.empty(0, dtype=np.int64)
+            self.di = np.empty(0, dtype=np.int64)
+            self.w = np.empty(0, dtype=np.float64) if weighted else None
+        # destination grouping (scatter target) built once
+        self.d_order, self.d_uniq, self.d_starts = _group_structure(self.di)
+        self.d_inv = np.searchsorted(self.d_uniq, self.di)
+        self._s_group = None  # lazy src grouping (reverse direction)
+        self._star = None  # lazy local-CC star edges (WCC)
+
+    # ------------------------------------------------------------------
+    def ready(self) -> int:
+        return int(len(self.si))
+
+    def _src_group(self):
+        if self._s_group is None:
+            self._s_group = _group_structure(self.si)
+        return self._s_group
+
+    # ------------------------------------------------------------------
+    # degrees (out/in, optionally weighted)
+    # ------------------------------------------------------------------
+    def degree_partial(self, direction: str, weighted: bool, dense_n: Optional[int]):
+        idx = self.si if direction == "out" else self.di
+        val = (
+            self.w
+            if (weighted and self.w is not None)
+            else np.ones(len(idx), dtype=np.float64)
+        )
+        if direction == "out":
+            order, uniq, starts = self._src_group()
+        else:
+            order, uniq, starts = self.d_order, self.d_uniq, self.d_starts
+        if not len(uniq):
+            sums = np.empty(0, dtype=np.float64)
+        else:
+            sums = np.add.reduceat(val[order], starts)
+        if dense_n is not None:
+            out = np.zeros(dense_n, dtype=np.float64)
+            out[uniq] = sums
+            return out
+        return uniq, sums
+
+    # ------------------------------------------------------------------
+    # PageRank round: Σ_{u→v} vec[u]·mul[u] (·w) per destination v
+    # ------------------------------------------------------------------
+    def scatter_sum(
+        self,
+        vec: np.ndarray,
+        mul: Optional[np.ndarray],
+        weighted: bool,
+        dense_n: Optional[int] = None,
+    ):
+        contrib = vec[self.si]
+        if mul is not None:
+            contrib = contrib * mul[self.si]
+        if weighted and self.w is not None:
+            contrib = contrib * self.w
+        sums = np.bincount(self.d_inv, weights=contrib, minlength=len(self.d_uniq))
+        if dense_n is not None:
+            out = np.zeros(dense_n, dtype=np.float64)
+            out[self.d_uniq] = sums
+            return out
+        return self.d_uniq, sums
+
+    # ------------------------------------------------------------------
+    # WCC: per-shard local CC once → star edges; min round over them
+    # ------------------------------------------------------------------
+    def build_star(self):
+        """Contract this shard's edges to (vertex → local min member)
+        star edges — the per-task DSS of the reference's
+        ParallelUnionFind variants, vectorized."""
+        if self._star is None:
+            a, b = self.si, self.di
+            uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ai, bi = inv[: len(a)], inv[len(a):]
+            lab = np.arange(len(uniq), dtype=np.int64)
+            while True:
+                l2 = lab.copy()
+                np.minimum.at(l2, ai, lab[bi])
+                np.minimum.at(l2, bi, lab[ai])
+                while True:
+                    l3 = l2[l2]
+                    if (l3 == l2).all():
+                        break
+                    l2 = l3
+                if (l2 == lab).all():
+                    break
+                lab = l2
+            keep = np.arange(len(uniq)) != lab
+            self._star = (uniq[keep], uniq[lab[keep]])
+        return int(len(self._star[0]))
+
+    def min_round(self, labels: np.ndarray, use_star: bool, dense_n: Optional[int] = None):
+        """One undirected min-label round: for each touched vertex, the
+        min label among its neighbors in this shard."""
+        if use_star:
+            self.build_star()
+            a, b = self._star
+        else:
+            a, b = self.si, self.di
+        both_idx = np.concatenate([a, b])
+        both_val = np.concatenate([labels[b], labels[a]])
+        order, uniq, starts = _group_structure(both_idx)
+        if not len(uniq):
+            mins = np.empty(0, dtype=np.int64)
+        else:
+            mins = np.minimum.reduceat(both_val[order], starts)
+        if dense_n is not None:
+            out = np.full(dense_n, np.iinfo(np.int64).max, dtype=np.int64)
+            out[uniq] = mins
+            return out
+        return uniq, mins
+
+    # ------------------------------------------------------------------
+    # SCC rounds (directed, masked)
+    # ------------------------------------------------------------------
+    def fwd_min(self, color: np.ndarray, active: np.ndarray):
+        m = active[self.si] & active[self.di]
+        if not m.any():
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        di, val = self.di[m], color[self.si[m]]
+        order, uniq, starts = _group_structure(di)
+        return uniq, np.minimum.reduceat(val[order], starts)
+
+    def bwd_reach(self, reached: np.ndarray, color: np.ndarray):
+        m = (
+            reached[self.di]
+            & ~reached[self.si]
+            & (color[self.si] == color[self.di])
+            & (color[self.si] < len(color))
+        )
+        if not m.any():
+            return np.empty(0, np.int64)
+        return np.unique(self.si[m])
+
+    # ------------------------------------------------------------------
+    # LPA round: per (dst, src_label) weight sum, undirected
+    # ------------------------------------------------------------------
+    def lpa_votes(self, labels: np.ndarray, weighted: bool, directed: bool):
+        if directed:
+            tgt, lab = self.di, labels[self.si]
+            w = (
+                self.w
+                if (weighted and self.w is not None)
+                else np.ones(len(tgt), dtype=np.float64)
+            )
+        else:
+            w1 = (
+                self.w
+                if (weighted and self.w is not None)
+                else np.ones(len(self.si), dtype=np.float64)
+            )
+            tgt = np.concatenate([self.di, self.si])
+            lab = np.concatenate([labels[self.si], labels[self.di]])
+            w = np.concatenate([w1, w1])
+        # group by (tgt, lab) pair
+        order = np.lexsort((lab, tgt))
+        t_s, l_s, w_s = tgt[order], lab[order], w[order]
+        if not len(t_s):
+            z = np.empty(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=np.float64)
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(first)
+        return t_s[starts], l_s[starts], np.add.reduceat(w_s, starts)
+
+
+class ShardedGraph:
+    """Actor pool holding the edge table, one shard per actor."""
+
+    def __init__(self, actors: list, num_edges: int, n: int):
+        self.actors = actors
+        self.m = num_edges
+        self.n = n
+
+    # Above this vertex count, per-shard partials return sparse
+    # (uniq, values) pairs instead of dense length-n vectors — bounds
+    # per-round transfer at S × min(n, |shard edges|) rows either way.
+    DENSE_MAX_N = 4_000_000
+
+    @staticmethod
+    def from_graph(graph, num_shards: Optional[int] = None) -> "ShardedGraph":
+        # (ref, num_rows) per block, then contiguous row spans per shard —
+        # shard count is independent of physical block count/sizing.
+        blocks: list = []
+        for bundle in graph.edges.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                blocks.append((ref, int(meta.num_rows or 0)))
+        total = sum(nr for _, nr in blocks)
+        if num_shards is None:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_shards = max(1, min(cpus, max(1, total // 65_536)))
+        num_shards = max(1, num_shards)
+        cuts = np.linspace(0, total, num_shards + 1).astype(np.int64)
+        spans: list[list] = [[] for _ in range(num_shards)]
+        pos = 0
+        for ref, nr in blocks:
+            for s in range(num_shards):
+                lo, hi = max(pos, cuts[s]), min(pos + nr, cuts[s + 1])
+                if hi > lo:
+                    spans[s].append((ref, int(lo - pos), int(hi - lo)))
+            pos += nr
+        Shard = ray.remote(_EdgeShard)
+        actors = [Shard.remote(spans[i], graph.weighted) for i in range(num_shards)]
+        loaded = sum(ray.get([a.ready.remote() for a in actors]))
+        return ShardedGraph(actors, loaded, graph.n)
+
+    # ------------------------------------------------------------------
+    # driver-side folds over the per-shard partials
+    # ------------------------------------------------------------------
+    @property
+    def _dense_n(self) -> Optional[int]:
+        return self.n if self.n <= self.DENSE_MAX_N else None
+
+    def _fold_sum(self, futs) -> np.ndarray:
+        if self._dense_n is not None:
+            return np.sum(ray.get(futs), axis=0)
+        out = np.zeros(self.n, dtype=np.float64)
+        for uniq, sums in ray.get(futs):
+            np.add.at(out, uniq, sums)
+        return out
+
+    def degree(self, direction: str, weighted: bool = False) -> np.ndarray:
+        futs = [
+            a.degree_partial.remote(direction, weighted, self._dense_n)
+            for a in self.actors
+        ]
+        return self._fold_sum(futs)
+
+    def scatter_sum(
+        self, vec: np.ndarray, mul=None, weighted: bool = False
+    ) -> np.ndarray:
+        """``mul`` may be a numpy array or an already-``ray.put`` ObjectRef
+        (callers with a loop-invariant multiplier put it once)."""
+        vec_ref = ray.put(vec)
+        if mul is None or isinstance(mul, ray.ObjectRef):
+            mul_ref = mul
+        else:
+            mul_ref = ray.put(mul)
+        futs = [
+            a.scatter_sum.remote(vec_ref, mul_ref, weighted, self._dense_n)
+            for a in self.actors
+        ]
+        return self._fold_sum(futs)
+
+    def min_round(self, labels: np.ndarray, use_star: bool = True) -> np.ndarray:
+        lab_ref = ray.put(labels)
+        futs = [
+            a.min_round.remote(lab_ref, use_star, self._dense_n) for a in self.actors
+        ]
+        if self._dense_n is not None:
+            return np.minimum(labels, np.minimum.reduce(ray.get(futs)))
+        out = labels.copy()
+        for uniq, mins in ray.get(futs):
+            np.minimum.at(out, uniq, mins)
+        return out
+
+    def fwd_min(self, color: np.ndarray, active: np.ndarray) -> np.ndarray:
+        c_ref, a_ref = ray.put(color), ray.put(active)
+        futs = [a.fwd_min.remote(c_ref, a_ref) for a in self.actors]
+        out = color.copy()
+        for uniq, mins in ray.get(futs):
+            np.minimum.at(out, uniq, mins)
+        return out
+
+    def bwd_reach(self, reached: np.ndarray, color: np.ndarray) -> np.ndarray:
+        r_ref, c_ref = ray.put(reached), ray.put(color)
+        futs = [a.bwd_reach.remote(r_ref, c_ref) for a in self.actors]
+        new = reached.copy()
+        for uniq in ray.get(futs):
+            new[uniq] = True
+        return new
+
+    def lpa_round(
+        self, labels: np.ndarray, weighted: bool = False, directed: bool = False
+    ) -> np.ndarray:
+        """One synchronous LPA round: argmax vote (tie → min label)."""
+        lab_ref = ray.put(labels)
+        futs = [a.lpa_votes.remote(lab_ref, weighted, directed) for a in self.actors]
+        parts = ray.get(futs)
+        tgt = np.concatenate([p[0] for p in parts])
+        lab = np.concatenate([p[1] for p in parts])
+        w = np.concatenate([p[2] for p in parts])
+        if not len(tgt):
+            return labels.copy()
+        # fold duplicate (tgt, lab) across shards, then argmax per tgt
+        order = np.lexsort((lab, tgt))
+        t_s, l_s, w_s = tgt[order], lab[order], w[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(first)
+        t_g, l_g = t_s[starts], l_s[starts]
+        w_g = np.add.reduceat(w_s, starts)
+        # argmax weight per tgt, tie-break min label: sort by
+        # (tgt, -weight, label) and take the first row per tgt
+        order2 = np.lexsort((l_g, -w_g, t_g))
+        t_o, l_o = t_g[order2], l_g[order2]
+        keep = np.ones(len(t_o), dtype=bool)
+        keep[1:] = t_o[1:] != t_o[:-1]
+        out = labels.copy()
+        out[t_o[keep]] = l_o[keep]
+        return out

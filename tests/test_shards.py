@@ -1,0 +1,109 @@
+"""Cross-representation agreement: stateful actor-pool engine
+(state.shards) vs the map_batches dataflow path, on random graphs —
+the analog of the reference's parameterized Heavy/Light/View test
+matrix (SURVEY.md §5.2), where every representation must agree.
+"""
+
+import numpy as np
+import pytest
+
+from neo4j_graph_algorithms_ray.pipelines.components import (
+    scc,
+    scc_numpy_oracle,
+    wcc,
+)
+from neo4j_graph_algorithms_ray.pipelines.labelprop import (
+    LabelPropagationConfig,
+    label_propagation,
+)
+from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+    PageRankConfig,
+    pagerank,
+    pagerank_numpy_oracle,
+)
+from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(7)
+    n, m = 400, 4000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.uniform(0.5, 2.0, len(src))
+    g = GraphTables.from_arrays(src, dst, weight=w, extra_vids=np.arange(n))
+    dsrc = np.searchsorted(g.vids, src)
+    ddst = np.searchsorted(g.vids, dst)
+    return g, dsrc, ddst, w
+
+
+def test_pagerank_engines_agree(random_graph):
+    g, src, dst, w = random_graph
+    act = pagerank(g, PageRankConfig(engine="actor")).ranks
+    df = pagerank(g, PageRankConfig(engine="dataflow")).ranks
+    np.testing.assert_allclose(act, df, atol=1e-12)
+    oracle = pagerank_numpy_oracle(src, dst, g.n)
+    np.testing.assert_allclose(act, oracle, atol=1e-9)
+
+
+def test_pagerank_weighted_engines_agree(random_graph):
+    g, src, dst, w = random_graph
+    act = pagerank(g, PageRankConfig(engine="actor", weighted=True)).ranks
+    oracle = pagerank_numpy_oracle(src, dst, g.n, weight=w)
+    np.testing.assert_allclose(act, oracle, atol=1e-9)
+
+
+def test_wcc_engines_agree(random_graph):
+    g, *_ = random_graph
+    act = wcc(g, engine="actor")
+    df = wcc(g, engine="dataflow")
+    np.testing.assert_array_equal(act.components, df.components)
+    assert act.set_count == df.set_count
+    # no-star variant agrees too
+    act2 = wcc(g, engine="actor", reduce_local=False)
+    np.testing.assert_array_equal(act.components, act2.components)
+
+
+def test_scc_engines_agree(random_graph):
+    g, src, dst, _ = random_graph
+    act = scc(g, engine="actor")
+    oracle = g.vids[scc_numpy_oracle(src, dst, g.n)]
+    np.testing.assert_array_equal(act.components, oracle)
+
+
+def test_lpa_engines_agree(random_graph):
+    g, *_ = random_graph
+    for directed in (False, True):
+        for weighted in (False, True):
+            cfg_a = LabelPropagationConfig(
+                fixed_iterations=3, directed=directed, weighted=weighted, engine="actor"
+            )
+            cfg_d = LabelPropagationConfig(
+                fixed_iterations=3, directed=directed, weighted=weighted, engine="dataflow"
+            )
+            la = label_propagation(g, cfg_a).labels
+            ld = label_propagation(g, cfg_d).labels
+            np.testing.assert_array_equal(la, ld)
+
+
+def test_shard_count_independent_of_blocks(random_graph):
+    """Row-span sharding: results identical at any shard count."""
+    g, src, dst, _ = random_graph
+    from neo4j_graph_algorithms_ray.state.shards import ShardedGraph
+
+    base = pagerank_numpy_oracle(src, dst, g.n)
+    for num_shards in (1, 3, 7):
+        sg = ShardedGraph.from_graph(g, num_shards=num_shards)
+        assert sg.m == g.m
+        deg = sg.degree("out")
+        invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+        ranks = np.full(g.n, 0.15)
+        for _ in range(200):
+            new = 0.15 + 0.85 * sg.scatter_sum(ranks, mul=invdeg)
+            if np.abs(new - ranks).sum() < 1e-6:
+                ranks = new
+                break
+            ranks = new
+        np.testing.assert_allclose(ranks, base, atol=1e-9)
