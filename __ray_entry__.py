@@ -279,6 +279,102 @@ def _q_betweenness(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_article_rank_k5(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        article_rank,
+    )
+
+    g = _graph(sf_dir, "bipartite")
+    res = article_rank(g, PageRankConfig(fixed_iterations=5))
+    return pa.table({"vid": g.vids, "rank": np.round(res.ranks, 6)})
+
+
+def _q_eigenvector_top10(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import eigenvector_centrality
+
+    g = _graph(sf_dir, "bipartite")
+    res = eigenvector_centrality(g)
+    r = np.round(res.ranks, 6)
+    order = np.lexsort((g.vids, -r))[:10]
+    return pa.table({"vid": g.vids[order], "score": r[order]})
+
+
+def _q_louvain(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.louvain import louvain
+
+    g = _graph(sf_dir, "co_supplier")
+    res = louvain(g)
+    return pa.table({"vid": g.vids, "community": res.communities})
+
+
+def _q_mst_total_weight(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.mst import boruvka_forest
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    res = boruvka_forest(g)
+    return pa.table(
+        {
+            "total_weight": np.array([round(res.total_weight, 6)]),
+            "forest_edges": np.array([res.edges.num_rows], dtype=np.int64),
+        }
+    )
+
+
+def _lp_pairs(g) -> pd.DataFrame:
+    vids = np.sort(g.vids)[:20]
+    return pd.DataFrame({"u": vids[0::2][:10], "v": vids[1::2][:10]})
+
+
+def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.linkprediction import (
+        link_prediction_scores,
+    )
+
+    g = _graph(sf_dir, "co_supplier")
+    out = link_prediction_scores(g, _lp_pairs(g)).to_pandas()
+    for c in ("adamic_adar", "resource_allocation"):
+        out[c] = out[c].round(6)
+    return out.sort_values("u").reset_index(drop=True)
+
+
+def _q_balanced_triads(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.triangles import balanced_triads
+    from neo4j_graph_algorithms_ray.sources import tpch
+
+    g = tpch.graph_for(sf_dir, "signed_co_supplier")
+    res = balanced_triads(g)
+    keep = (res.balanced + res.unbalanced) > 0
+    return pa.table(
+        {
+            "vid": g.vids[keep],
+            "balanced": res.balanced[keep],
+            "unbalanced": res.unbalanced[keep],
+        }
+    )
+
+
+def _q_random_walks(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.walks import random_walks
+
+    g = _graph(sf_dir, "cyclic")
+    starts = np.sort(g.vids)[:8]
+    return (
+        random_walks(g, starts, steps=6, seed=42, directed=True)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_yens_paths(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.walks import yens_k_shortest_paths
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    vids = np.sort(g.vids)
+    return yens_k_shortest_paths(g, int(vids[0]), int(vids[-1]), k=3, directed=False)
+
+
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
 
@@ -322,6 +418,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_clustering_coefficient": _q_avg_clustering,
         "closeness_harmonic_sampled": _q_closeness,
         "betweenness_sampled": _q_betweenness,
+        "article_rank_k5": _q_article_rank_k5,
+        "eigenvector_top10": _q_eigenvector_top10,
+        "louvain_communities": _q_louvain,
+        "mst_total_weight": _q_mst_total_weight,
+        "link_prediction": _q_link_prediction,
+        "balanced_triads": _q_balanced_triads,
+        "random_walks": _q_random_walks,
+        "yens_k_shortest": _q_yens_paths,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
@@ -382,6 +486,23 @@ def _pagerank_cte(k: int) -> str:
   FROM vertices v LEFT JOIN (
     SELECT e.dst AS vid, SUM(r.rank / d.od) AS c
     FROM r{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _article_rank_cte(k: int) -> str:
+    """ArticleRank recurrence: divisor outDeg + avgOutDeg."""
+    parts = ["ar0 AS (SELECT vid, 0.15::DOUBLE AS rank FROM vertices)"]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT v.vid, 0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s.c, 0::DOUBLE) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(r.rank / (d.od + (SELECT a FROM avgd))) AS c
+    FROM ar{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 )"""
@@ -481,6 +602,66 @@ tri AS (
 SELECT ROUND(AVG(CASE WHEN d.d > 1
   THEN 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)) ELSE 0 END), 6) AS avg_coefficient
 FROM deg d LEFT JOIN tri t ON t.vid = d.vid""",
+        "article_rank_k5": f"""WITH {_E_BIP},
+deg AS (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src),
+avgd AS (
+  SELECT SUM(od)::DOUBLE / (SELECT COUNT(*) FROM vertices) AS a FROM deg
+),
+{_article_rank_cte(5)}
+SELECT vid, ROUND(rank, 6) AS rank FROM ar5""",
+        "link_prediction": f"""WITH {_E_BIP}, {_UND_COSUPP},
+vs AS (
+  SELECT a AS vid, ROW_NUMBER() OVER (ORDER BY a) - 1 AS rn
+  FROM (SELECT DISTINCT a FROM nb) ORDER BY a LIMIT 20
+),
+pr AS (
+  SELECT e.vid AS u, o.vid AS v FROM vs e JOIN vs o ON o.rn = e.rn + 1
+  WHERE e.rn % 2 = 0
+),
+deg AS (SELECT a AS vid, COUNT(*) AS d FROM nb GROUP BY a),
+cn AS (
+  SELECT p.u, p.v, n2.b AS w
+  FROM pr p JOIN nb n1 ON n1.a = p.u JOIN nb n2 ON n2.a = p.v AND n2.b = n1.b
+),
+agg AS (
+  SELECT u, v, COUNT(*) AS common_neighbors,
+    ROUND(SUM(CASE WHEN dw.d > 1 THEN 1.0/ln(dw.d) ELSE 0 END), 6) AS adamic_adar,
+    ROUND(SUM(1.0/dw.d), 6) AS resource_allocation
+  FROM cn JOIN deg dw ON dw.vid = cn.w GROUP BY u, v
+)
+SELECT p.u AS u, p.v AS v,
+  COALESCE(a.common_neighbors, 0) AS common_neighbors,
+  COALESCE(a.adamic_adar, 0.0) AS adamic_adar,
+  COALESCE(a.resource_allocation, 0.0) AS resource_allocation,
+  du.d * dv.d AS preferential_attachment,
+  du.d + dv.d - COALESCE(a.common_neighbors, 0) AS total_neighbors
+FROM pr p
+JOIN deg du ON du.vid = p.u JOIN deg dv ON dv.vid = p.v
+LEFT JOIN agg a ON a.u = p.u AND a.v = p.v
+ORDER BY u""",
+        "balanced_triads": f"""WITH {_E_BIP}, {_UND_COSUPP},
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+signed AS (
+  SELECT a, b, c,
+    (CASE WHEN (a+b) % 4 = 0 THEN 1 ELSE -1 END)
+    * (CASE WHEN (b+c) % 4 = 0 THEN 1 ELSE -1 END)
+    * (CASE WHEN (a+c) % 4 = 0 THEN 1 ELSE -1 END) AS p
+  FROM tri
+),
+member AS (
+  SELECT a AS vid, p FROM signed
+  UNION ALL SELECT b, p FROM signed
+  UNION ALL SELECT c, p FROM signed
+)
+SELECT vid,
+  SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS balanced,
+  SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS unbalanced
+FROM member GROUP BY vid""",
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
         "token_stats": r"""SELECT doc_id,
   length(regexp_extract_all(text, '\S+')) AS n_tokens,

@@ -138,7 +138,7 @@ def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> P
     while it < max_iters:
         t0 = time.perf_counter()
         if use_actor:
-            acc = sg.scatter_sum(ranks, mul=invdeg_ref, weighted=config.weighted)
+            acc = sg.scatter_sum(ranks, mul=invdeg, weighted=config.weighted)
         else:
             ranks_ref = ray.put(ranks)
             partial = _make_partial(ranks_ref, invdeg_ref, token, config.weighted)
@@ -188,6 +188,78 @@ def pagerank_table(graph: GraphTables, config: PageRankConfig = PageRankConfig()
     """(vid, rank) result keyed by original vertex id."""
     res = pagerank(graph, config)
     return graph.to_table({"rank": res.ranks})
+
+
+def article_rank(
+    graph: GraphTables, config: PageRankConfig = PageRankConfig()
+) -> PageRankResult:
+    """ArticleRank (reference ``algo.articleRank`` [later-branch],
+    ``algo/.../PageRankProc.java`` 3.4+): PageRank with the per-source
+    divisor ``outDeg(u) + avgOutDeg`` — damps the influence of
+    low-degree sources. Same actor-pool rounds as pagerank."""
+    n = graph.n
+    d = config.damping
+    alpha = 1.0 - d
+    sg = graph.sharded()
+    deg = sg.degree("out")
+    avg = float(deg.mean()) if n else 0.0
+    inv = np.where(deg > 0, 1.0 / (deg + avg), 0.0)
+    ranks = np.full(n, alpha, dtype=np.float64)
+    it, delta, converged = 0, float("inf"), False
+    max_iters = (
+        config.fixed_iterations
+        if config.fixed_iterations is not None
+        else config.max_iterations
+    )
+    t0 = time.perf_counter()
+    while it < max_iters:
+        new = alpha + d * sg.scatter_sum(ranks, mul=inv)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        it += 1
+        if config.fixed_iterations is None and delta < config.tolerance:
+            converged = True
+            break
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        delta=delta,
+        metrics={"total_seconds": time.perf_counter() - t0, "avg_out_deg": avg},
+    )
+
+
+def eigenvector_centrality(
+    graph: GraphTables,
+    tolerance: float = 1e-8,
+    max_iterations: int = 200,
+) -> PageRankResult:
+    """Eigenvector centrality (reference [later-branch] eigenvector
+    variant of PageRankProc): power iteration on A^T with L2
+    normalization per round; converges to the principal eigenvector."""
+    n = graph.n
+    sg = graph.sharded()
+    ranks = np.full(n, 1.0 / np.sqrt(n) if n else 0.0, dtype=np.float64)
+    it, delta, converged = 0, float("inf"), False
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        acc = sg.scatter_sum(ranks)
+        norm = float(np.linalg.norm(acc))
+        if norm == 0.0:
+            ranks = acc
+            converged = True
+            break
+        new = acc / norm
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        it += 1
+        if delta < tolerance:
+            converged = True
+            break
+    return PageRankResult(
+        ranks=ranks, iterations=it, converged=converged, delta=delta,
+        metrics={"total_seconds": time.perf_counter() - t0},
+    )
 
 
 def pagerank_numpy_oracle(

@@ -243,6 +243,118 @@ def triangle_table(graph: GraphTables) -> pa.Table:
     )
 
 
+# ----------------------------------------------------------------------
+# Balanced triads (reference: algo.balancedTriads,
+# algo/.../impl/triangle/BalancedTriads.java — mknblch specialty):
+# signed-triangle classification, balanced ⇔ product of edge signs > 0
+# ----------------------------------------------------------------------
+@dataclass
+class BalancedTriadsResult:
+    balanced: np.ndarray  # per dense vertex
+    unbalanced: np.ndarray
+    balanced_count: int
+    unbalanced_count: int
+    metrics: dict = field(default_factory=dict)
+
+
+def canonical_undirected_signed(graph: GraphTables) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical undirected edges + sign (+1 / −1 from the weight; a
+    pair stored twice keeps the min-weight sign deterministically)."""
+    n = graph.n
+
+    def canon(batch: pa.Table) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False)
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        u = np.minimum(si, di)
+        v = np.maximum(si, di)
+        keep = u != v
+        key = u[keep] * n + v[keep]
+        order = np.lexsort((w[keep], key))
+        k_s, w_s = key[order], w[keep][order]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        return pa.table({"key": k_s[first], "w": w_s[first]})
+
+    parts = graph.edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
+    keys, ws = [], []
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys.append(b["key"].to_numpy(zero_copy_only=False))
+        ws.append(b["w"].to_numpy(zero_copy_only=False))
+    if not keys:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64)
+    key = np.concatenate(keys)
+    w = np.concatenate(ws)
+    order = np.lexsort((w, key))
+    k_s, w_s = key[order], w[order]
+    first = np.ones(len(k_s), dtype=bool)
+    first[1:] = k_s[1:] != k_s[:-1]
+    k_s, w_s = k_s[first], w_s[first]
+    sign = np.where(w_s >= 0, 1.0, -1.0)
+    return k_s // n, k_s % n, sign
+
+
+def balanced_triads(graph: GraphTables) -> BalancedTriadsResult:
+    """Per-vertex balanced/unbalanced triad counts over the signed
+    undirected graph; each triad credited to all three vertices."""
+    t0 = time.perf_counter()
+    if not graph.weighted:
+        raise ValueError("balanced triads require a weighted (signed) graph")
+    n = graph.n
+    u, v, sign = canonical_undirected_signed(graph)
+    indptr, nbrs, ekeys, _deg = _oriented_csr(u, v, n)
+    # sign lookup aligned to sorted packed keys
+    skey = np.sort(u * n + v)
+    sidx = np.argsort(u * n + v, kind="stable")
+    signs_by_key = sign[sidx]
+    csr_ref = ray.put((indptr, nbrs, ekeys))
+    sign_ref = ray.put((skey, signs_by_key))
+
+    def part(batch: pa.Table) -> pa.Table:
+        matched = _wedge_partial(batch, csr_ref=csr_ref, n=n)
+        a = matched["a"].to_numpy(zero_copy_only=False)
+        b = matched["b"].to_numpy(zero_copy_only=False)
+        c = matched["c"].to_numpy(zero_copy_only=False)
+        sk, sv = ray.get(sign_ref)
+
+        def look(x, y):
+            lo = np.minimum(x, y)
+            hi = np.maximum(x, y)
+            return sv[np.searchsorted(sk, lo * n + hi)]
+
+        prod = look(a, b) * look(b, c) * look(a, c)
+        allv = np.concatenate([a, b, c])
+        bal = np.concatenate([prod > 0] * 3).astype(np.float64)
+        idx_b, cnt_b = group_sum(allv, bal)
+        idx_u, cnt_u = group_sum(allv, 1.0 - bal)
+        return pa.table(
+            {
+                "idx": np.concatenate([idx_b, idx_u]),
+                "b": np.concatenate([cnt_b, np.zeros(len(idx_u))]),
+                "u": np.concatenate([np.zeros(len(idx_b)), cnt_u]),
+            }
+        )
+
+    verts = rd.from_arrow(pa.table({"a": np.arange(n, dtype=np.int64)}))
+    parts = verts.map_batches(part, batch_format="pyarrow", batch_size=4096)
+    bal = np.zeros(n, dtype=np.float64)
+    unb = np.zeros(n, dtype=np.float64)
+    for batch in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        idx = batch["idx"].to_numpy(zero_copy_only=False)
+        np.add.at(bal, idx, batch["b"].to_numpy(zero_copy_only=False))
+        np.add.at(unb, idx, batch["u"].to_numpy(zero_copy_only=False))
+    bal_i = bal.astype(np.int64)
+    unb_i = unb.astype(np.int64)
+    return BalancedTriadsResult(
+        balanced=bal_i,
+        unbalanced=unb_i,
+        balanced_count=int(bal_i.sum() // 3),
+        unbalanced_count=int(unb_i.sum() // 3),
+        metrics={"seconds": time.perf_counter() - t0},
+    )
+
+
 def triangle_count_numpy_oracle(u: np.ndarray, v: np.ndarray, n: int) -> np.ndarray:
     """Brute-force per-vertex triangle counts from canonical edges (tests)."""
     adj = np.zeros((n, n), dtype=bool)

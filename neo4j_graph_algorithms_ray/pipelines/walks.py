@@ -1,0 +1,208 @@
+"""Random walks and Yen's k-shortest paths.
+
+- Random walk (reference [later-branch] ``algo.randomWalk.stream``,
+  ``algo/.../NodeWalkerProc.java``): uniform random walks of fixed
+  length from start vertices. Walkers fan out over a ``map_batches`` of
+  the start-vertex Dataset; each task walks its batch to completion
+  against the broadcast CSR (per SURVEY.md §2.5 P7 — the per-step
+  frontier-join dataflow is the >broadcast-scale path). Seeded per
+  (walk_id) so results are deterministic under any parallelism.
+
+- Yen's k-shortest paths (reference ``algo.kShortestPaths``,
+  ``algo/.../impl/yens/YensKShortestPaths.java``): loopless k shortest
+  paths between two vertices via repeated Dijkstra with edge masking —
+  inherently sequential, runs as a small-graph kernel in one process
+  (the reference, too, runs it single-threaded per call); the result is
+  an edge-shaped table (reference writes PATH_0..k−1 relationships).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..state.graph import GraphTables
+
+
+def _csr(graph: GraphTables, directed: bool = True):
+    """(indptr, nbrs[, w]) over dense ids from the edge Dataset."""
+    chunks = []
+    for b in graph.edges.iter_batches(batch_format="pyarrow", batch_size=None):
+        si = b["si"].to_numpy(zero_copy_only=False)
+        di = b["di"].to_numpy(zero_copy_only=False)
+        w = (
+            b["w"].to_numpy(zero_copy_only=False)
+            if "w" in b.column_names
+            else np.ones(len(si))
+        )
+        chunks.append((si, di, w))
+    if chunks:
+        si = np.concatenate([c[0] for c in chunks])
+        di = np.concatenate([c[1] for c in chunks])
+        w = np.concatenate([c[2] for c in chunks])
+    else:
+        si = di = np.empty(0, np.int64)
+        w = np.empty(0, np.float64)
+    if not directed:
+        si, di, w = (
+            np.concatenate([si, di]),
+            np.concatenate([di, si]),
+            np.concatenate([w, w]),
+        )
+    order = np.lexsort((di, si))
+    si, di, w = si[order], di[order], w[order]
+    indptr = np.searchsorted(si, np.arange(graph.n + 1))
+    return indptr, di, w
+
+
+def random_walks(
+    graph: GraphTables,
+    start_vids: np.ndarray,
+    steps: int = 10,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    directed: bool = False,
+) -> "rd.Dataset":
+    """(walk_id, step, vid) rows; a walk stops early at a dead end."""
+    csr_ref = ray.put(_csr(graph, directed=directed))
+    vids = graph.vids
+    starts = np.searchsorted(vids, np.asarray(start_vids, dtype=np.int64))
+    walk_ids = np.repeat(np.arange(len(starts) * walks_per_node), 1)
+    starts_rep = np.tile(starts, walks_per_node)
+    ds = rd.from_arrow(
+        pa.table({"walk_id": walk_ids, "start": starts_rep})
+    )
+    vids_ref = graph.vids_ref
+
+    def walk(batch: pa.Table, _steps=steps, _seed=seed) -> pa.Table:
+        indptr, nbrs, _w = ray.get(csr_ref)
+        vv = ray.get(vids_ref)
+        out_id, out_step, out_vid = [], [], []
+        for wid, cur in zip(
+            batch["walk_id"].to_numpy(zero_copy_only=False),
+            batch["start"].to_numpy(zero_copy_only=False),
+        ):
+            rng = np.random.default_rng(_seed * 1_000_003 + int(wid))
+            out_id.append(wid)
+            out_step.append(0)
+            out_vid.append(vv[cur])
+            for s in range(1, _steps + 1):
+                lo, hi = indptr[cur], indptr[cur + 1]
+                if hi <= lo:
+                    break
+                cur = nbrs[lo + int(rng.integers(hi - lo))]
+                out_id.append(wid)
+                out_step.append(s)
+                out_vid.append(vv[cur])
+        return pa.table(
+            {
+                "walk_id": np.asarray(out_id, np.int64),
+                "step": np.asarray(out_step, np.int64),
+                "vid": np.asarray(out_vid, np.int64),
+            }
+        )
+
+    return ds.map_batches(walk, batch_format="pyarrow", batch_size=1024)
+
+
+def _dijkstra_masked(
+    indptr, nbrs, w, n: int, src: int, dst: int, banned_edges: set, banned_nodes: set
+):
+    """(cost, path) or None; edges banned as (u_idx_in_csr) positions."""
+    dist = np.full(n, np.inf)
+    prev = np.full(n, -1, dtype=np.int64)
+    dist[src] = 0.0
+    heap = [(0.0, src)]
+    done = np.zeros(n, dtype=bool)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if done[u]:
+            continue
+        if u == dst:
+            break
+        done[u] = True
+        for pos in range(indptr[u], indptr[u + 1]):
+            if pos in banned_edges:
+                continue
+            v = nbrs[pos]
+            if v in banned_nodes or done[v]:
+                continue
+            nd = d + w[pos]
+            if nd < dist[v]:
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, int(v)))
+    if not np.isfinite(dist[dst]):
+        return None
+    path = [dst]
+    while path[-1] != src:
+        path.append(int(prev[path[-1]]))
+    return float(dist[dst]), path[::-1]
+
+
+def yens_k_shortest_paths(
+    graph: GraphTables, start_vid: int, end_vid: int, k: int, directed: bool = True
+) -> pd.DataFrame:
+    """Rows (path_index, step, vid, cost) for up to k loopless shortest
+    paths, ordered by total cost (ties → discovery order)."""
+    indptr, nbrs, w = _csr(graph, directed=directed)
+    vids = graph.vids
+    n = graph.n
+    s = int(np.searchsorted(vids, start_vid))
+    t = int(np.searchsorted(vids, end_vid))
+    first = _dijkstra_masked(indptr, nbrs, w, n, s, t, set(), set())
+    if first is None:
+        return pd.DataFrame(
+            {"path_index": [], "step": [], "vid": [], "cost": []}
+        ).astype({"path_index": "int64", "step": "int64", "vid": "int64", "cost": "float64"})
+    paths = [first]
+    candidates: list = []
+    seen_paths = {tuple(first[1])}
+    while len(paths) < k:
+        cost_prev, path_prev = paths[-1]
+        for i in range(len(path_prev) - 1):
+            spur = path_prev[i]
+            root = path_prev[: i + 1]
+            banned_edges = set()
+            for pc, pp in paths:
+                if pp[: i + 1] == root and len(pp) > i + 1:
+                    u, nxt = pp[i], pp[i + 1]
+                    for pos in range(indptr[u], indptr[u + 1]):
+                        if nbrs[pos] == nxt:
+                            banned_edges.add(pos)
+            banned_nodes = set(root[:-1])
+            spur_res = _dijkstra_masked(
+                indptr, nbrs, w, n, spur, t, banned_edges, banned_nodes
+            )
+            if spur_res is None:
+                continue
+            root_cost = 0.0
+            for j in range(i):
+                u, nxt = path_prev[j], path_prev[j + 1]
+                for pos in range(indptr[u], indptr[u + 1]):
+                    if nbrs[pos] == nxt:
+                        root_cost += w[pos]
+                        break
+            total = root_cost + spur_res[0]
+            full = root[:-1] + spur_res[1]
+            key = tuple(full)
+            if key not in seen_paths and all(c[2] != key for c in candidates):
+                candidates.append((total, len(candidates), key, full))
+        if not candidates:
+            break
+        candidates.sort(key=lambda c: (c[0], c[1]))
+        best = candidates.pop(0)
+        paths.append((best[0], best[3]))
+        seen_paths.add(best[2])
+    rows = []
+    for pi, (cost, path) in enumerate(paths):
+        for step, v in enumerate(path):
+            rows.append((pi, step, int(vids[v]), cost))
+    return pd.DataFrame(rows, columns=["path_index", "step", "vid", "cost"]).astype(
+        {"path_index": "int64", "step": "int64", "vid": "int64", "cost": "float64"}
+    )

@@ -159,6 +159,62 @@ def co_supplier_edges(sf_dir: str) -> pa.Table:
     return t
 
 
+def weighted_bipartite_edges(sf_dir: str) -> pa.Table:
+    """(o_custkey*2 → l_suppkey*2+1, weight = lineitem count per pair)."""
+    k = ("wbip", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    o = np.argsort(okeys)
+    lookup_ref = ray.put((okeys[o], ocust[o]))
+    SHIFT = np.int64(1) << np.int64(21)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ok, oc = ray.get(lookup_ref)
+        lo = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, lo)
+        key = (oc[pos] * 2) * SHIFT + (ls * 2 + 1)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": uniq, "cnt": cnt.astype(np.int64)})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    parts = li.map_batches(part, batch_format="pyarrow", batch_size=None)
+    keys, cnts = [], []
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        keys.append(b["key"].to_numpy(zero_copy_only=False))
+        cnts.append(b["cnt"].to_numpy(zero_copy_only=False))
+    if keys:
+        key = np.concatenate(keys)
+        cnt = np.concatenate(cnts)
+        uniq, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv, weights=cnt.astype(np.float64), minlength=len(uniq))
+    else:
+        uniq = np.empty(0, np.int64)
+        w = np.empty(0, np.float64)
+    t = pa.table({"src": uniq // SHIFT, "dst": uniq % SHIFT, "weight": w})
+    _CACHE[k] = t
+    return t
+
+
+def signed_co_supplier_edges(sf_dir: str) -> pa.Table:
+    """co_supplier edges with sign ((u+v) % 4 == 0 → +1, else −1) — the
+    deterministic signed fixture for balanced triads (all co_supplier
+    vids are odd, so plain parity would be degenerate)."""
+    k = ("signed", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    base = co_supplier_edges(sf_dir)
+    u = base["u"].to_numpy(zero_copy_only=False)
+    v = base["v"].to_numpy(zero_copy_only=False)
+    w = np.where((u + v) % 4 == 0, 1.0, -1.0)
+    t = pa.table({"u": u, "v": v, "weight": w})
+    _CACHE[k] = t
+    return t
+
+
 def graph_for(sf_dir: str, which: str) -> GraphTables:
     """Projected GraphTables per derived edge table (cached per sf_dir)."""
     k = ("graph", which, sf_dir)
@@ -173,6 +229,14 @@ def graph_for(sf_dir: str, which: str) -> GraphTables:
     elif which == "co_supplier":
         t = co_supplier_edges(sf_dir)
         g = GraphTables.from_dataset(rd.from_arrow(t), src="u", dst="v")
+    elif which == "weighted_bipartite":
+        t = weighted_bipartite_edges(sf_dir)
+        g = GraphTables.from_dataset(rd.from_arrow(t), weight="weight")
+    elif which == "signed_co_supplier":
+        t = signed_co_supplier_edges(sf_dir)
+        g = GraphTables.from_dataset(
+            rd.from_arrow(t), src="u", dst="v", weight="weight"
+        )
     else:  # pragma: no cover
         raise ValueError(which)
     _CACHE[k] = g

@@ -94,6 +94,15 @@ class _EdgeShard:
         # destination grouping (scatter target) built once
         self.d_order, self.d_uniq, self.d_starts = _group_structure(self.di)
         self.d_inv = np.searchsorted(self.d_uniq, self.di)
+        # the per-round hot loop is memory-bandwidth-bound: narrow the
+        # per-edge streams to int32 where ids fit (they do whenever
+        # n < 2^31 — the >2^31 case keeps int64, the reference's
+        # Heavy-vs-Huge split in one line)
+        if len(self.si) and max(self.si.max(), self.di.max()) < 2**31:
+            self.si = self.si.astype(np.int32)
+            self.di = self.di.astype(np.int32)
+        if self.d_inv.size and len(self.d_uniq) < 2**31:
+            self.d_inv = self.d_inv.astype(np.int32)
         self._s_group = None  # lazy src grouping (reverse direction)
         self._star = None  # lazy local-CC star edges (WCC)
 
@@ -136,13 +145,13 @@ class _EdgeShard:
     def scatter_sum(
         self,
         vec: np.ndarray,
-        mul: Optional[np.ndarray],
         weighted: bool,
         dense_n: Optional[int] = None,
     ):
+        """``vec`` arrives pre-multiplied (driver computes rank·invdeg —
+        O(n) there vs O(m) gathers here), so the hot loop is ONE gather
+        + one bincount over int32 streams."""
         contrib = vec[self.si]
-        if mul is not None:
-            contrib = contrib * mul[self.si]
         if weighted and self.w is not None:
             contrib = contrib * self.w
         sums = np.bincount(self.d_inv, weights=contrib, minlength=len(self.d_uniq))
@@ -224,6 +233,59 @@ class _EdgeShard:
         return np.unique(self.si[m])
 
     # ------------------------------------------------------------------
+    # Louvain support: community contraction + intra-community weight
+    # ------------------------------------------------------------------
+    def contract_edges(self, comm: np.ndarray):
+        """Contract this shard's edges by community: pre-aggregated
+        (packed(lo,hi), weight) with lo/hi = canonical community pair
+        (self-loops kept — internal weight)."""
+        cs = comm[self.si].astype(np.uint64)
+        cd = comm[self.di].astype(np.uint64)
+        lo = np.minimum(cs, cd)
+        hi = np.maximum(cs, cd)
+        packed = (lo << np.uint64(32)) | hi
+        w = self.w if self.w is not None else np.ones(len(packed))
+        uniq, inv = np.unique(packed, return_inverse=True)
+        return uniq, np.bincount(inv, weights=w, minlength=len(uniq))
+
+    def intra_weight(self, comm: np.ndarray):
+        """(community, Σ weight of edges inside it) for this shard."""
+        m = comm[self.si] == comm[self.di]
+        if not m.any():
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.float64)
+        c = comm[self.si[m]]
+        w = self.w[m] if self.w is not None else np.ones(int(m.sum()))
+        order, uniq, starts = _group_structure(c)
+        return uniq, np.add.reduceat(w[order], starts)
+
+    # ------------------------------------------------------------------
+    # Borůvka round: per-component min outgoing edge candidates
+    # ------------------------------------------------------------------
+    def boruvka_candidates(self, comp: np.ndarray, sign: float):
+        """Per component touched by this shard: the lexicographically
+        min (sign·w, u, v) edge leaving the component. Returns
+        (comp, w, u, v) pre-aggregated, or None if no cross edges."""
+        cs, cd = comp[self.si], comp[self.di]
+        m = cs != cd
+        if not m.any():
+            return None
+        u = self.si[m].astype(np.int64)
+        v = self.di[m].astype(np.int64)
+        w = (self.w[m] if self.w is not None else np.ones(int(m.sum()))) * sign
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        c = np.concatenate([cs[m], cd[m]])
+        ww = np.concatenate([w, w])
+        aa = np.concatenate([a, a])
+        bb = np.concatenate([b, b])
+        order = np.lexsort((bb, aa, ww, c))
+        c_s, w_s, a_s, b_s = c[order], ww[order], aa[order], bb[order]
+        keep = np.ones(len(c_s), dtype=bool)
+        keep[1:] = c_s[1:] != c_s[:-1]
+        return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
+
+    # ------------------------------------------------------------------
     # LPA round: per (dst, src_label) weight sum, undirected
     # ------------------------------------------------------------------
     def lpa_votes(self, labels: np.ndarray, weighted: bool, directed: bool):
@@ -278,8 +340,10 @@ class ShardedGraph:
                 blocks.append((ref, int(meta.num_rows or 0)))
         total = sum(nr for _, nr in blocks)
         if num_shards is None:
+            # ~1M edges per shard floor: below that, actor cold-start +
+            # per-round RPC overhead outweigh the extra parallelism
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            num_shards = max(1, min(cpus, max(1, total // 65_536)))
+            num_shards = max(1, min(cpus, max(1, total // 1_000_000)))
         num_shards = max(1, num_shards)
         cuts = np.linspace(0, total, num_shards + 1).astype(np.int64)
         spans: list[list] = [[] for _ in range(num_shards)]
@@ -318,17 +382,16 @@ class ShardedGraph:
         return self._fold_sum(futs)
 
     def scatter_sum(
-        self, vec: np.ndarray, mul=None, weighted: bool = False
+        self, vec: np.ndarray, mul: Optional[np.ndarray] = None, weighted: bool = False
     ) -> np.ndarray:
-        """``mul`` may be a numpy array or an already-``ray.put`` ObjectRef
-        (callers with a loop-invariant multiplier put it once)."""
+        """Σ over in-edges of (vec·mul)[src] (·w). The multiplier is
+        folded into the broadcast vector on the driver — O(n) — so each
+        shard performs a single O(m/P) gather."""
+        if mul is not None:
+            vec = vec * mul
         vec_ref = ray.put(vec)
-        if mul is None or isinstance(mul, ray.ObjectRef):
-            mul_ref = mul
-        else:
-            mul_ref = ray.put(mul)
         futs = [
-            a.scatter_sum.remote(vec_ref, mul_ref, weighted, self._dense_n)
+            a.scatter_sum.remote(vec_ref, weighted, self._dense_n)
             for a in self.actors
         ]
         return self._fold_sum(futs)
@@ -360,6 +423,67 @@ class ShardedGraph:
         for uniq in ray.get(futs):
             new[uniq] = True
         return new
+
+    def contract_edges(self, comm: np.ndarray):
+        """Community-contracted edge arrays (c_lo, c_hi, weight) folded
+        across shards — the Louvain coarsening step as a pre-aggregated
+        exchange (rows bounded by distinct community pairs, not edges)."""
+        comm_ref = ray.put(comm)
+        futs = [a.contract_edges.remote(comm_ref) for a in self.actors]
+        parts = ray.get(futs)
+        packed = np.concatenate([p[0] for p in parts])
+        w = np.concatenate([p[1] for p in parts])
+        uniq, inv = np.unique(packed, return_inverse=True)
+        ws = np.bincount(inv, weights=w, minlength=len(uniq))
+        return (
+            (uniq >> np.uint64(32)).astype(np.int64),
+            (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            ws,
+        )
+
+    def intra_weight(self, comm: np.ndarray) -> np.ndarray:
+        """Dense per-community Σ internal edge weight."""
+        comm_ref = ray.put(comm)
+        futs = [a.intra_weight.remote(comm_ref) for a in self.actors]
+        out = np.zeros(self.n, dtype=np.float64)
+        for uniq, sums in ray.get(futs):
+            np.add.at(out, uniq, sums)
+        return out
+
+    def boruvka_candidates(self, comp: np.ndarray, sign: float = 1.0):
+        """Fold per-shard min-outgoing-edge candidates; None when the
+        forest is complete (no cross-component edges anywhere)."""
+        comp_ref = ray.put(comp)
+        futs = [a.boruvka_candidates.remote(comp_ref, sign) for a in self.actors]
+        parts = [p for p in ray.get(futs) if p is not None]
+        if not parts:
+            return None
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+            np.concatenate([p[3] for p in parts]),
+        )
+
+    def vote_triples(
+        self, labels: np.ndarray, weighted: bool = False, directed: bool = False
+    ):
+        """Raw folded (vertex, label, weight) vote triples across shards
+        (used by Louvain's gain evaluation; lpa_round is argmax of this)."""
+        lab_ref = ray.put(labels)
+        futs = [a.lpa_votes.remote(lab_ref, weighted, directed) for a in self.actors]
+        parts = ray.get(futs)
+        tgt = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        lab = np.concatenate([p[1] for p in parts])
+        w = np.concatenate([p[2] for p in parts])
+        if not len(tgt):
+            return tgt, lab, w
+        order = np.lexsort((lab, tgt))
+        t_s, l_s, w_s = tgt[order], lab[order], w[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(first)
+        return t_s[starts], l_s[starts], np.add.reduceat(w_s, starts)
 
     def lpa_round(
         self, labels: np.ndarray, weighted: bool = False, directed: bool = False
