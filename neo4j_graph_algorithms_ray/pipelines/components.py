@@ -43,6 +43,12 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..state.checkpoint import (
+    CheckpointConfig,
+    latest_complete,
+    load_iteration,
+    save_iteration,
+)
 from ..state.dense import block_cache_key, cache_get, cache_put, group_min, scatter_combine
 from ..state.graph import GraphTables
 
@@ -137,18 +143,45 @@ def _jump(labels: np.ndarray) -> np.ndarray:
         labels = j
 
 
-def _wcc_actor(graph: GraphTables, reduce_local: bool) -> tuple[np.ndarray, int]:
+def _wcc_actor(
+    graph: GraphTables,
+    reduce_local: bool,
+    checkpoint: Optional[CheckpointConfig] = None,
+) -> tuple[np.ndarray, int]:
     """Min-label rounds against the stateful shard pool (state.shards):
     per-shard local-CC star contraction once, then per-round undirected
-    min propagation + driver pointer jumping."""
+    min propagation + driver pointer jumping. Per-round checkpoint of
+    the label vector (north rule) — min-propagation is monotone, so a
+    resumed run reaches the identical fixpoint."""
     sg = graph.sharded()
     labels = np.arange(graph.n, dtype=np.int64)
     rounds = 0
+    if checkpoint is not None and checkpoint.resume:
+        k = latest_complete(checkpoint)
+        if k is not None:
+            _, vectors, _ = load_iteration(checkpoint, k)
+            labels = vectors["label"]
+            rounds = k
     while True:
+        t0 = time.perf_counter()
         new = sg.min_round(labels, use_star=reduce_local)
         new = _jump(new)
         rounds += 1
-        if (new == labels).all():
+        changed = int((new != labels).sum())
+        if checkpoint is not None and rounds % checkpoint.every == 0:
+            save_iteration(
+                checkpoint,
+                rounds,
+                graph.vids,
+                {"label": new},
+                {
+                    "iteration": rounds,
+                    "changed": changed,
+                    "seconds": time.perf_counter() - t0,
+                },
+                input_token=graph.token,
+            )
+        if changed == 0:
             return labels, rounds
         labels = new
 
@@ -160,6 +193,7 @@ def wcc(
     reduce_local: bool = True,
     combine: str = "driver",
     engine: str = "auto",
+    checkpoint: Optional[CheckpointConfig] = None,
 ) -> ComponentsResult:
     t0 = time.perf_counter()
     n = graph.n
@@ -167,7 +201,7 @@ def wcc(
         engine == "actor" or (engine == "auto" and graph.m >= 50_000)
     )
     if use_actor:
-        labels, rounds = _wcc_actor(graph, reduce_local)
+        labels, rounds = _wcc_actor(graph, reduce_local, checkpoint)
         vids = graph.vids
         return ComponentsResult(
             labels=labels,

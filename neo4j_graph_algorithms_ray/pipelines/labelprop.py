@@ -36,6 +36,12 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..state.checkpoint import (
+    CheckpointConfig,
+    latest_complete,
+    load_iteration,
+    save_iteration,
+)
 from ..state.graph import GraphTables
 
 
@@ -48,6 +54,7 @@ class LabelPropagationConfig:
     # undirected (BOTH) is what the community fixtures use
     combine: str = "driver"  # or "shuffle"
     engine: str = "auto"  # "actor" (state.shards pool) | "dataflow" | "auto"
+    checkpoint: Optional[CheckpointConfig] = None
 
 
 @dataclass
@@ -104,15 +111,36 @@ def label_propagation(
     )
     it = 0
     converged = False
+    ckpt = config.checkpoint
+    if ckpt is not None and ckpt.resume:
+        k = latest_complete(ckpt)
+        if k is not None:
+            _, vectors, _ = load_iteration(ckpt, k)
+            labels = vectors["label"]
+            it = k
+
+    def maybe_ckpt(iteration: int, labs: np.ndarray, changed: int, secs: float):
+        if ckpt is not None and iteration % ckpt.every == 0:
+            save_iteration(
+                ckpt,
+                iteration,
+                graph.vids,
+                {"label": labs},
+                {"iteration": iteration, "changed": changed, "seconds": secs},
+                input_token=graph.token,
+            )
+
     if use_actor:
         sg = graph.sharded()
         while it < max_iters:
+            ti = time.perf_counter()
             new_labels = sg.lpa_round(
                 labels, weighted=config.weighted, directed=config.directed
             )
             it += 1
             changed = new_labels != labels
             labels = new_labels
+            maybe_ckpt(it, labels, int(changed.sum()), time.perf_counter() - ti)
             if config.fixed_iterations is None and not changed.any():
                 converged = True
                 break
@@ -123,6 +151,7 @@ def label_propagation(
             metrics={"seconds": time.perf_counter() - t0, "engine": "actor"},
         )
     while it < max_iters:
+        ti = time.perf_counter()
         lab_ref = ray.put(labels)
         parts = edges.map_batches(
             _vote_partial,
@@ -156,6 +185,7 @@ def label_propagation(
         it += 1
         changed = new_labels != labels
         labels = new_labels
+        maybe_ckpt(it, labels, int(changed.sum()), time.perf_counter() - ti)
         if config.fixed_iterations is None and not changed.any():
             converged = True
             break

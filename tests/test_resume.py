@@ -74,3 +74,46 @@ def test_checkpoint_corruption_detected(tmp_path):
         raise AssertionError("corruption not detected")
     except IOError as e:
         assert "checksum" in str(e)
+
+
+def test_wcc_resume_identical(tmp_path):
+    rng = np.random.default_rng(2)
+    n, m = 300, 1200
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    g = GraphTables.from_arrays(src[keep], dst[keep], extra_vids=np.arange(n))
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+
+    full = wcc(g, engine="actor")
+    ck = CheckpointConfig(dir=str(tmp_path / "wcc_ck"), every=1)
+    # "killed" after first checkpointed round: rebuild config resuming
+    wcc(g, engine="actor", checkpoint=CheckpointConfig(dir=ck.dir, every=1))
+    assert latest_complete(ck) is not None
+    resumed = wcc(g, engine="actor", checkpoint=ck)
+    np.testing.assert_array_equal(full.components, resumed.components)
+    assert full.set_count == resumed.set_count
+
+
+def test_lpa_resume_identical(tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import (
+        LabelPropagationConfig,
+        label_propagation,
+    )
+
+    rng = np.random.default_rng(4)
+    n, m = 200, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    g = GraphTables.from_arrays(src[keep], dst[keep], extra_vids=np.arange(n))
+    full = label_propagation(g, LabelPropagationConfig(fixed_iterations=6, engine="actor"))
+    ck = CheckpointConfig(dir=str(tmp_path / "lpa_ck"), every=1)
+    label_propagation(
+        g, LabelPropagationConfig(fixed_iterations=3, engine="actor", checkpoint=ck)
+    )
+    assert latest_complete(ck) == 3
+    resumed = label_propagation(
+        g, LabelPropagationConfig(fixed_iterations=6, engine="actor", checkpoint=ck)
+    )
+    np.testing.assert_array_equal(full.labels, resumed.labels)
