@@ -375,6 +375,37 @@ def _q_yens_paths(sf_dir: str) -> pd.DataFrame:
     return yens_k_shortest_paths(g, int(vids[0]), int(vids[-1]), k=3, directed=False)
 
 
+def _q_doc_sha256(sf_dir: str) -> Any:
+    """Per-row content sha256 — the north-rule invariant surfaced as an
+    oracle-checked query (DuckDB recomputes sha256 independently)."""
+    import hashlib
+
+    def sha(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "sha": pa.array(h)})
+
+    return _docs(sf_dir).map_batches(sha, batch_format="pyarrow")
+
+
+def _q_euclidean_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
+
+    t = metric_topk(_emb(sf_dir), [0, 1, 2, 3], k=5, metric="euclidean")
+    t["score"] = t["score"].round(4)
+    return t[["query_id", "vec_id", "rank", "score"]]
+
+
+def _q_pearson_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
+
+    t = metric_topk(_emb(sf_dir), [0, 1, 2, 3], k=5, metric="pearson")
+    t["score"] = t["score"].round(4)
+    return t[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
 
@@ -428,6 +459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yens_k_shortest": _q_yens_paths,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
+        "doc_sha256": _q_doc_sha256,
+        "euclidean_topk": _q_euclidean_topk,
+        "pearson_topk": _q_pearson_topk,
         "token_stats": _q_token_stats,
         "lang_counts": _q_lang_counts,
         "ann_topk": _q_ann_topk,
@@ -668,6 +702,21 @@ FROM member GROUP BY vid""",
   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
 FROM documents""",
         "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+        "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "euclidean_topk": """WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         sqrt(list_distance(q.embedding::DOUBLE[], e.embedding::DOUBLE[])^2) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5""",
         "ann_topk": """WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
 ),

@@ -93,6 +93,79 @@ def ann_topk(
     return top.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+def metric_topk(
+    embeddings: "rd.Dataset",
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    metric: str = "euclidean",  # euclidean | pearson | dot | cosine
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact top-k per query under the reference's other similarity
+    metrics (``algo.similarity.euclidean/pearson`` — SURVEY §2.6):
+    (query_id, vec_id, score, rank). Euclidean ranks ascending distance;
+    the rest descending similarity; ties → vec_id asc. Same blocked
+    per-batch kernel + driver k-merge as ``ann_topk``."""
+    qset = set(int(q) for q in query_ids)
+    q_rows = embeddings.filter(lambda r: int(r[id_col]) in qset).to_pandas()
+    q_rows = q_rows.sort_values(id_col)
+    qm = _to_matrix(q_rows, vec_col)
+    qids = q_rows[id_col].to_numpy(np.int64)
+    if metric == "pearson":
+        qm = qm - qm.mean(axis=1, keepdims=True)
+        qm = _normalize(qm)
+    elif metric == "cosine":
+        qm = _normalize(qm)
+    q_ref = ray.put((qids, qm))
+    ascending = metric == "euclidean"
+
+    def block_topk(df: pd.DataFrame, _metric=metric) -> pd.DataFrame:
+        ids, qmat = ray.get(q_ref)
+        m = _to_matrix(df, vec_col)
+        vids = df[id_col].to_numpy(np.int64)
+        if _metric == "pearson":
+            m2 = _normalize(m - m.mean(axis=1, keepdims=True))
+            scores = qmat @ m2.T
+        elif _metric == "cosine":
+            scores = qmat @ _normalize(m).T
+        elif _metric == "dot":
+            scores = qmat @ m.T
+        else:  # euclidean distance
+            qn = (qmat**2).sum(axis=1, keepdims=True)
+            mn = (m**2).sum(axis=1)
+            scores = np.sqrt(np.maximum(qn + mn - 2.0 * (qmat @ m.T), 0.0))
+        out = []
+        for qi in range(len(ids)):
+            s = scores[qi]
+            mask = vids != ids[qi]
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            key = s[idx] if ascending else -s[idx]
+            order = idx[np.lexsort((vids[idx], key))][:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": ids[qi], "vec_id": vids[order], "score": s[order]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, ascending, True]
+    )
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 def lsh_topk(
     embeddings: "rd.Dataset",
     query_ids: list[int],

@@ -124,3 +124,45 @@ def test_multimodal_decode_stage():
     assert np.allclose(np.stack(out["feature"]), np.stack(out2["feature"]))
     frames = frame_sample_stage(media, every_n=2).to_pandas()
     assert (frames.groupby("media_id").size().values == [1, 1, 2, 2, 3]).all()
+
+
+def test_metric_topk_euclidean_and_pearson_vs_numpy():
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
+
+    emb_ds, m = _embeddings()
+    M = m.astype(np.float64)
+    ids = np.arange(len(M), dtype=np.int64)
+    q = 0
+    # euclidean
+    top = metric_topk(emb_ds, [q], k=5, metric="euclidean")
+    d = np.linalg.norm(M - M[ids == q][0], axis=1)
+    mask = ids != q
+    order = np.lexsort((ids[mask], d[mask]))[:5]
+    np.testing.assert_array_equal(top["vec_id"].to_numpy(), ids[mask][order])
+    np.testing.assert_allclose(top["score"].to_numpy(), d[mask][order], atol=1e-9)
+    # pearson
+    topp = metric_topk(emb_ds, [q], k=5, metric="pearson")
+    qv = M[ids == q][0]
+    pear = np.array([np.corrcoef(qv, row)[0, 1] for row in M])
+    orderp = np.lexsort((ids[mask], -pear[mask]))[:5]
+    np.testing.assert_array_equal(topp["vec_id"].to_numpy(), ids[mask][orderp])
+    np.testing.assert_allclose(topp["score"].to_numpy(), pear[mask][orderp], atol=1e-9)
+
+
+def test_graph_catalog_lifecycle():
+    from neo4j_graph_algorithms_ray.state import catalog
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return GraphTables.from_arrays(np.array([0, 1]), np.array([1, 2]))
+
+    g1 = catalog.load("toy", build)
+    g2 = catalog.load("toy", build)  # cached — builder not re-invoked
+    assert g1 is g2 and len(calls) == 1
+    inf = catalog.info("toy")
+    assert inf["nodes"] == 3 and inf["relationships"] == 2 and not inf["weighted"]
+    assert any(e["name"] == "toy" for e in catalog.list_graphs())
+    assert catalog.remove("toy") and catalog.get("toy") is None
