@@ -279,6 +279,26 @@ def _q_betweenness(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_pagerank_weighted_k5(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        pagerank,
+    )
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    res = pagerank(g, PageRankConfig(fixed_iterations=5, weighted=True))
+    return pa.table({"vid": g.vids, "rank": np.round(res.ranks, 6)})
+
+
+def _q_wcc_threshold(sf_dir: str) -> pa.Table:
+    """WCC over edges with weight > 2 (reference unionFind threshold)."""
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    res = wcc(g, threshold=2.0)
+    return pa.table({"vid": g.vids, "component": res.components})
+
+
 def _q_article_rank_k5(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.pagerank import (
         PageRankConfig,
@@ -449,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_clustering_coefficient": _q_avg_clustering,
         "closeness_harmonic_sampled": _q_closeness,
         "betweenness_sampled": _q_betweenness,
+        "pagerank_weighted_k5": _q_pagerank_weighted_k5,
+        "wcc_threshold": _q_wcc_threshold,
         "article_rank_k5": _q_article_rank_k5,
         "eigenvector_top10": _q_eigenvector_top10,
         "louvain_communities": _q_louvain,
@@ -488,6 +510,16 @@ edges AS (
 vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
 """
 
+_E_WBIP = """
+edges AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         COUNT(*)::DOUBLE AS weight
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
+"""
+
 _E_CYC = """
 edges AS (
   SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -520,6 +552,26 @@ def _pagerank_cte(k: int) -> str:
   FROM vertices v LEFT JOIN (
     SELECT e.dst AS vid, SUM(r.rank / d.od) AS c
     FROM r{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _wpagerank_cte(k: int) -> str:
+    """Weighted PageRank: contrib = rank · w(u,v) / weightedOutDeg(u)."""
+    parts = [
+        "wdeg AS (SELECT src AS vid, SUM(weight) AS wd FROM edges GROUP BY src)",
+        "wr0 AS (SELECT vid, 0.15::DOUBLE AS rank FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""wr{i} AS (
+  SELECT v.vid, 0.15::DOUBLE + 0.85::DOUBLE * COALESCE(s.c, 0::DOUBLE) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(r.rank * e.weight / d.wd) AS c
+    FROM wr{i-1} r JOIN wdeg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 )"""
@@ -636,6 +688,17 @@ tri AS (
 SELECT ROUND(AVG(CASE WHEN d.d > 1
   THEN 2.0 * COALESCE(t.t, 0) / (d.d * (d.d - 1)) ELSE 0 END), 6) AS avg_coefficient
 FROM deg d LEFT JOIN tri t ON t.vid = d.vid""",
+        "pagerank_weighted_k5": f"WITH {_E_WBIP}, {_wpagerank_cte(5)} "
+        "SELECT vid, ROUND(rank, 6) AS rank FROM wr5",
+        "wcc_threshold": f"""WITH RECURSIVE {_E_WBIP},
+fe AS (SELECT src, dst FROM edges WHERE weight > 2.0),
+und AS (SELECT src AS a, dst AS b FROM fe UNION SELECT dst, src FROM fe),
+lbl AS (
+  SELECT vid, vid AS label FROM vertices
+  UNION
+  SELECT u.b AS vid, l.label FROM lbl l JOIN und u ON u.a = l.vid
+)
+SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid""",
         "article_rank_k5": f"""WITH {_E_BIP},
 deg AS (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src),
 avgd AS (
