@@ -426,6 +426,18 @@ def _q_pearson_topk(sf_dir: str) -> pd.DataFrame:
     return t[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_delta_stepping(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.paths import delta_stepping
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    src = int(np.sort(g.vids)[0])
+    res = delta_stepping(g, src, delta=2.0, directed=False)
+    keep = np.isfinite(res.distances)
+    return pa.table(
+        {"vid": g.vids[keep], "distance": np.round(res.distances[keep], 6)}
+    )
+
+
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
 
@@ -479,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_triads": _q_balanced_triads,
         "random_walks": _q_random_walks,
         "yens_k_shortest": _q_yens_paths,
+        "delta_stepping_sssp": _q_delta_stepping,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
         "doc_sha256": _q_doc_sha256,

@@ -131,6 +131,58 @@ def sssp(graph: GraphTables, source_vid: int, directed: bool = True) -> SsspResu
     return SsspResult(distances=dist, rounds=rounds)
 
 
+def delta_stepping(
+    graph: GraphTables,
+    source_vid: int,
+    delta: float = 1.0,
+    directed: bool = True,
+) -> SsspResult:
+    """Delta-stepping SSSP (reference:
+    ``algo.shortestPath.deltaStepping``,
+    ``algo/.../impl/ShortestPathDeltaStepping.java`` — Meyer–Sanders
+    bucketed parallel SSSP). Buckets of width Δ processed in order:
+    light edges (w ≤ Δ) relaxed to fixpoint within the bucket, heavy
+    edges (w > Δ) relaxed once on bucket settlement. Each relaxation is
+    one pre-aggregated sweep over the stateful shard pool; matches
+    Dijkstra exactly (tested for several Δ)."""
+    n = graph.n
+    s = int(np.searchsorted(graph.vids, source_vid))
+    if s >= n or graph.vids[s] != source_vid:
+        raise KeyError(f"source vid {source_vid} not in graph")
+    sg = graph.sharded()
+    undirected = not directed
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    rounds = 0
+    k = 0
+    while True:
+        lo, hi = k * delta, (k + 1) * delta
+        in_bucket = (dist >= lo) & (dist < hi)
+        if not in_bucket.any():
+            # jump to the next non-empty bucket
+            pending = dist[np.isfinite(dist) & (dist >= hi)]
+            if not len(pending):
+                break
+            k = int(pending.min() // delta)
+            continue
+        frontier = in_bucket
+        while frontier.any():
+            new = sg.relax(dist, frontier, w_cap=delta, heavy=False,
+                           undirected=undirected)
+            rounds += 1
+            improved = new < dist
+            dist = new
+            frontier = improved & (dist < hi)
+        settled = (dist >= lo) & (dist < hi)
+        if settled.any():
+            new = sg.relax(dist, settled, w_cap=delta, heavy=True,
+                           undirected=undirected)
+            rounds += 1
+            dist = new
+        k += 1
+    return SsspResult(distances=dist, rounds=rounds, metrics={"delta": delta})
+
+
 def dijkstra_numpy_oracle(
     src: np.ndarray, dst: np.ndarray, w: np.ndarray, n: int, s: int
 ) -> np.ndarray:

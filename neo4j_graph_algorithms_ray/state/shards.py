@@ -233,6 +233,40 @@ class _EdgeShard:
         return np.unique(self.si[m])
 
     # ------------------------------------------------------------------
+    # Delta-stepping relax: tentative-distance improvements from a
+    # frontier, optionally restricted to light (w ≤ cap) or heavy
+    # (w > cap) edges (Meyer–Sanders bucketing)
+    # ------------------------------------------------------------------
+    def relax(
+        self,
+        dist: np.ndarray,
+        frontier: np.ndarray,
+        w_cap: Optional[float] = None,
+        heavy: bool = False,
+        undirected: bool = False,
+    ):
+        w = self.w if self.w is not None else np.ones(len(self.si))
+        wm = np.ones(len(w), dtype=bool)
+        if w_cap is not None:
+            wm = (w > w_cap) if heavy else (w <= w_cap)
+        pairs = [(self.si, self.di)]
+        if undirected:
+            pairs.append((self.di, self.si))
+        outs_i, outs_v = [], []
+        for a, b in pairs:
+            m = wm & frontier[a]
+            if not m.any():
+                continue
+            cand = dist[a[m]] + w[m]
+            order, uniq, starts = _group_structure(b[m].astype(np.int64))
+            outs_i.append(uniq)
+            outs_v.append(np.minimum.reduceat(cand[order], starts))
+        if not outs_i:
+            z = np.empty(0, np.int64)
+            return z, np.empty(0, np.float64)
+        return np.concatenate(outs_i), np.concatenate(outs_v)
+
+    # ------------------------------------------------------------------
     # Louvain support: community contraction + intra-community weight
     # ------------------------------------------------------------------
     def contract_edges(self, comm: np.ndarray):
@@ -423,6 +457,26 @@ class ShardedGraph:
         for uniq in ray.get(futs):
             new[uniq] = True
         return new
+
+    def relax(
+        self,
+        dist: np.ndarray,
+        frontier: np.ndarray,
+        w_cap: Optional[float] = None,
+        heavy: bool = False,
+        undirected: bool = False,
+    ) -> np.ndarray:
+        """One relaxation sweep: min-fold of per-shard candidate
+        distances into a copy of ``dist``."""
+        d_ref, f_ref = ray.put(dist), ray.put(frontier)
+        futs = [
+            a.relax.remote(d_ref, f_ref, w_cap, heavy, undirected)
+            for a in self.actors
+        ]
+        out = dist.copy()
+        for uniq, mins in ray.get(futs):
+            np.minimum.at(out, uniq, mins)
+        return out
 
     def contract_edges(self, comm: np.ndarray):
         """Community-contracted edge arrays (c_lo, c_hi, weight) folded

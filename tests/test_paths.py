@@ -95,3 +95,31 @@ def test_msbfs_many_sources():
     t = closeness_table(g, variant="harmonic").to_pandas()
     # middle vertex has highest harmonic closeness
     assert t["centrality"].idxmax() == n // 2 or t["centrality"].idxmax() == n // 2 - 1
+
+
+def test_delta_stepping_matches_dijkstra():
+    from neo4j_graph_algorithms_ray.pipelines.paths import (
+        delta_stepping,
+        dijkstra_numpy_oracle,
+    )
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    rng = np.random.default_rng(13)
+    n, m = 150, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = np.round(rng.uniform(0.1, 5.0, len(src)), 3)
+    g = GraphTables.from_arrays(src, dst, weight=w, extra_vids=np.arange(n))
+    want = dijkstra_numpy_oracle(src, dst, w, n, 0)
+    for delta in (0.5, 2.0, 10.0):
+        got = delta_stepping(g, 0, delta=delta)
+        np.testing.assert_allclose(got.distances, want, atol=1e-9)
+    # undirected agrees with oracle over symmetrized edges
+    und = dijkstra_numpy_oracle(
+        np.concatenate([src, dst]), np.concatenate([dst, src]),
+        np.concatenate([w, w]), n, 0,
+    )
+    got_u = delta_stepping(g, 0, delta=1.0, directed=False)
+    np.testing.assert_allclose(got_u.distances, und, atol=1e-9)
