@@ -227,7 +227,10 @@ def _q_simhash_groups(sf_dir: str) -> pd.DataFrame:
 def _q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.similarity import cosine_neardup
 
-    p = cosine_neardup(_emb(sf_dir), threshold=0.8)
+    # testdata embeddings are near-orthogonal random vectors (max
+    # pairwise cosine ≈0.51 at sf0.01) — 0.35 exercises the operator
+    # with a non-empty result; production near-dup uses 0.8+
+    p = cosine_neardup(_emb(sf_dir), threshold=0.35)
     p["sim"] = p["sim"].round(4)
     return p
 
@@ -326,6 +329,14 @@ def _q_louvain(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "co_supplier")
     res = louvain(g)
     return pa.table({"vid": g.vids, "community": res.communities})
+
+
+def _q_infomap(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.infomap import infomap
+
+    g = _graph(sf_dir, "co_supplier")
+    res = infomap(g)
+    return pa.table({"vid": g.vids, "module": res.communities})
 
 
 def _q_mst_total_weight(sf_dir: str) -> pa.Table:
@@ -486,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "article_rank_k5": _q_article_rank_k5,
         "eigenvector_top10": _q_eigenvector_top10,
         "louvain_communities": _q_louvain,
+        "infomap_modules": _q_infomap,
         "mst_total_weight": _q_mst_total_weight,
         "link_prediction": _q_link_prediction,
         "balanced_triads": _q_balanced_triads,

@@ -320,6 +320,27 @@ class _EdgeShard:
         return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
 
     # ------------------------------------------------------------------
+    # InfoMap support: symmetric flow votes — per (vertex, neighbor
+    # community), Σ F_ij with F_ij = w_ij·(A_i + A_j)/2 (A = visit
+    # probability / weighted out-degree)
+    # ------------------------------------------------------------------
+    def flow_votes(self, comm: np.ndarray, A: np.ndarray):
+        w = self.w if self.w is not None else np.ones(len(self.si))
+        f = w * (A[self.si] + A[self.di]) * 0.5
+        tgt = np.concatenate([self.si.astype(np.int64), self.di.astype(np.int64)])
+        cand = np.concatenate([comm[self.di], comm[self.si]])
+        ff = np.concatenate([f, f])
+        order = np.lexsort((cand, tgt))
+        t_s, c_s, f_s = tgt[order], cand[order], ff[order]
+        if not len(t_s):
+            z = np.empty(0, np.int64)
+            return z, z, np.empty(0, np.float64)
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        return t_s[starts], c_s[starts], np.add.reduceat(f_s, starts)
+
+    # ------------------------------------------------------------------
     # LPA round: per (dst, src_label) weight sum, undirected
     # ------------------------------------------------------------------
     def lpa_votes(self, labels: np.ndarray, weighted: bool, directed: bool):
@@ -518,6 +539,24 @@ class ShardedGraph:
             np.concatenate([p[2] for p in parts]),
             np.concatenate([p[3] for p in parts]),
         )
+
+    def flow_votes(self, comm: np.ndarray, A: np.ndarray):
+        """Folded symmetric-flow triples (vertex, neighbor community,
+        Σ flow) across shards (InfoMap local moving)."""
+        c_ref, a_ref = ray.put(comm), ray.put(A)
+        futs = [a.flow_votes.remote(c_ref, a_ref) for a in self.actors]
+        parts = ray.get(futs)
+        tgt = np.concatenate([p[0] for p in parts])
+        cand = np.concatenate([p[1] for p in parts])
+        f = np.concatenate([p[2] for p in parts])
+        if not len(tgt):
+            return tgt, cand, f
+        order = np.lexsort((cand, tgt))
+        t_s, c_s, f_s = tgt[order], cand[order], f[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        return t_s[starts], c_s[starts], np.add.reduceat(f_s, starts)
 
     def vote_triples(
         self, labels: np.ndarray, weighted: bool = False, directed: bool = False

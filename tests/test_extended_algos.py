@@ -156,3 +156,55 @@ def test_article_rank_and_eigenvector_sane():
     nxt = sg.scatter_sum(ev.ranks)
     lam = float(np.linalg.norm(nxt))
     np.testing.assert_allclose(nxt / lam, ev.ranks, atol=1e-4)
+
+
+def test_infomap_two_cliques():
+    from neo4j_graph_algorithms_ray.pipelines.infomap import infomap
+
+    src, dst = two_cliques_bridge()
+    g = GraphTables.from_arrays(src, dst)
+    res = infomap(g)
+    assert res.community_count == 2
+    comm = res.communities
+    assert len(set(comm[:4])) == 1 and len(set(comm[4:])) == 1
+    assert comm[0] == 0 and comm[4] == 4  # canonical min-member ids
+
+
+def test_infomap_planted_partition_and_determinism():
+    from neo4j_graph_algorithms_ray.pipelines.infomap import infomap
+
+    rng = np.random.default_rng(3)
+    n = 60
+    src, dst = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.random() < (0.4 if (i // 20) == (j // 20) else 0.02):
+                src.append(i)
+                dst.append(j)
+    g = GraphTables.from_arrays(
+        np.array(src, dtype=np.int64), np.array(dst, dtype=np.int64),
+        extra_vids=np.arange(n),
+    )
+    r1 = infomap(g)
+    r2 = infomap(g)
+    np.testing.assert_array_equal(r1.communities, r2.communities)
+    assert 3 <= r1.community_count <= 6
+    sizes = sorted(np.bincount(np.unique(r1.communities, return_inverse=True)[1]))
+    assert sizes[-3] >= 15  # the three planted groups dominate
+    # codelength beats the singleton partition's
+    from neo4j_graph_algorithms_ray.pipelines.infomap import _codelength
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        pagerank,
+    )
+
+    pr = pagerank(g, PageRankConfig(tolerance=1e-9, max_iterations=500)).ranks
+    p = pr / pr.sum()
+    sg = g.sharded()
+    wdeg = sg.degree("out") + sg.degree("in")
+    A = np.where(wdeg > 0, p / wdeg, 0.0)
+    tgt, _, f = sg.flow_votes(np.arange(g.n, dtype=np.int64), A)
+    s = np.zeros(g.n)
+    np.add.at(s, tgt, f)
+    L_singleton = _codelength(s, p, p)
+    assert r1.codelength < L_singleton
