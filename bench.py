@@ -45,6 +45,11 @@ _BENCH_QUERIES = [
     "lpa_k3",
     "triangle_count",
     "bfs_depth",
+    "louvain_communities",
+    "infomap_modules",
+    "mst_total_weight",
+    "delta_stepping_sssp",
+    "link_prediction",
     "dedup_exact",
     "minhash_lsh_groups",
     "token_stats",

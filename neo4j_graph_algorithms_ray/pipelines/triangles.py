@@ -83,22 +83,34 @@ class TriangleResult:
 def _wedge_partial(
     batch: pa.Table, *, csr_ref, n: int
 ) -> pa.Table:
-    """Emit matched triangles (a,b,c as dense ids) for a vertex range."""
+    """Emit matched triangles (a,b,c as dense ids) for a vertex range.
+
+    Fully vectorized: vertices are grouped by oriented out-degree (≤
+    O(√m) distinct values thanks to the degree orientation), each
+    degree class expands its wedges with one fancy-indexing shot, and
+    the closing-edge membership check is a single ``searchsorted``
+    semi-join per class."""
     lo_hi = batch["a"].to_numpy(zero_copy_only=False)
     indptr, nbrs, ekeys = ray.get(csr_ref)
+    deg = indptr[lo_hi + 1] - indptr[lo_hi]
     out_a, out_b, out_c = [], [], []
-    for a in lo_hi:
-        s, e = indptr[a], indptr[a + 1]
-        k = e - s
+    for k in np.unique(deg):
         if k < 2:
             continue
-        nb = nbrs[s:e]  # already sorted by orientation order
-        bi, ci = np.triu_indices(k, 1)
-        wb, wc = nb[bi], nb[ci]
-        hit = np.searchsorted(ekeys, wb * n + wc)
-        ok = (hit < len(ekeys)) & (ekeys[np.minimum(hit, len(ekeys) - 1)] == wb * n + wc)
+        vs = lo_hi[deg == k]
+        starts = indptr[vs]
+        nb = nbrs[starts[:, None] + np.arange(k)]  # (V, k), rank-sorted
+        bi, ci = np.triu_indices(int(k), 1)
+        wb = nb[:, bi].ravel()
+        wc = nb[:, ci].ravel()
+        a_rep = np.repeat(vs, len(bi))
+        key = wb * n + wc
+        hit = np.searchsorted(ekeys, key)
+        ok = (hit < len(ekeys)) & (
+            ekeys[np.minimum(hit, len(ekeys) - 1)] == key
+        )
         if ok.any():
-            out_a.append(np.full(int(ok.sum()), a, dtype=np.int64))
+            out_a.append(a_rep[ok])
             out_b.append(wb[ok].astype(np.int64))
             out_c.append(wc[ok].astype(np.int64))
     if not out_a:
