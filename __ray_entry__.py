@@ -124,6 +124,36 @@ def _q_lpa_k3(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids, "label": res.labels})
 
 
+def _q_lpa_seeded(sf_dir: str) -> pa.Table:
+    """LPA with partitionProperty seeds (reference
+    ``algo.labelPropagation`` seeded mode): customer vertices seed from
+    their nation key + 1000 (disjoint from the vid label space),
+    suppliers start unseeded (own vid)."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import (
+        LabelPropagationConfig,
+        label_propagation,
+    )
+
+    g = _graph(sf_dir, "bipartite")
+    cust = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        )
+        .to_pandas()
+    )
+    seed_map = dict(
+        zip((cust["c_custkey"] * 2).astype(int), (cust["c_nationkey"] + 1000).astype(int))
+    )
+    seeds = np.array([seed_map.get(int(v), -1) for v in g.vids], dtype=np.int64)
+    res = label_propagation(
+        g, LabelPropagationConfig(fixed_iterations=3, directed=False), seeds=seeds
+    )
+    return pa.table({"vid": g.vids, "label": res.labels})
+
+
 def _q_scc(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.components import scc
 
@@ -449,6 +479,14 @@ def _q_delta_stepping(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.windows import hopping_window
+
+    t = hopping_window(_events(sf_dir), size="1d", hop="6h").to_pandas()
+    t["sum_value"] = t["sum_value"].round(6)
+    return t
+
+
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
 
@@ -485,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc": _q_wcc,
         "wcc_setcount": _q_wcc_setcount,
         "lpa_k3": _q_lpa_k3,
+        "lpa_seeded_k3": _q_lpa_seeded,
         "scc": _q_scc,
         "bfs_depth": _q_bfs_depth,
         "triangle_count": _q_triangle_count,
@@ -514,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "events_tumbling_daily": _q_events_tumbling,
+        "events_hopping_1d_6h": _q_events_hopping,
         "sessionize": _q_sessionize,
         "minhash_lsh_groups": _q_minhash_groups,
         "simhash_groups": _q_simhash_groups,
@@ -621,10 +661,10 @@ def _article_rank_cte(k: int) -> str:
     return ",\n".join(parts)
 
 
-def _lpa_cte(k: int) -> str:
+def _lpa_cte(k: int, l0: str = "SELECT vid, vid AS label FROM vertices") -> str:
     parts = [
         "und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)",
-        "l0 AS (SELECT vid, vid AS label FROM vertices)",
+        f"l0 AS ({l0})",
     ]
     for i in range(1, k + 1):
         parts.append(
@@ -673,6 +713,10 @@ lbl AS (
 comp AS (SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid)
 SELECT COUNT(DISTINCT component) AS set_count FROM comp""",
         "lpa_k3": f"WITH {_E_BIP}, {_lpa_cte(3)} SELECT vid, label FROM l3",
+        "lpa_seeded_k3": f"""WITH {_E_BIP}, {_lpa_cte(3, l0='''
+  SELECT v.vid, COALESCE(c.c_nationkey + 1000, v.vid) AS label
+  FROM vertices v LEFT JOIN customer c ON c.c_custkey * 2 = v.vid''')}
+SELECT vid, label FROM l3""",
         "scc": f"""WITH RECURSIVE {_E_CYC},
 reach AS (
   SELECT vid AS s, vid AS v FROM vertices
@@ -824,4 +868,11 @@ SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"
   COUNT(*) AS n_events,
   ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY user_id, date_trunc('day', ts)""",
+        "events_hopping_1d_6h": """SELECT user_id,
+  make_timestamp((CAST(floor(epoch(ts)/21600) AS BIGINT)*21600
+                  - i.generate_series*21600) * 1000000) AS window_start,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 6) AS sum_value
+FROM events CROSS JOIN generate_series(0, 3) i
+GROUP BY 1, 2""",
     }

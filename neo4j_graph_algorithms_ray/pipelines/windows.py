@@ -45,6 +45,56 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    events: "rd.Dataset",
+    *,
+    size: str = "1d",
+    hop: str = "6h",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> "rd.Dataset":
+    """(user_id, window_start, n_events, sum_value) per HOPPING window
+    of width ``size`` advancing every ``hop`` (size must be a multiple
+    of hop). Each event fans out to size/hop windows map-side — the
+    pre-aggregation keeps the exchange at O(windows touched), not
+    O(events × overlap)."""
+    size_td = pd.Timedelta(size)
+    hop_td = pd.Timedelta(hop)
+    k = int(size_td / hop_td)
+    if k * hop_td != size_td:
+        raise ValueError("size must be a multiple of hop")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(hop_td)
+        frames = []
+        for i in range(k):
+            w = base - i * hop_td
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": df[user_col].to_numpy(np.int64),
+                        "window_start": w.to_numpy(),
+                        "n": 1,
+                        "v": df[value_col].to_numpy(np.float64),
+                    }
+                )
+            )
+        allw = pd.concat(frames, ignore_index=True)
+        g = allw.groupby(["user_id", "window_start"], sort=False, as_index=False)
+        return g.agg(n_events=("n", "sum"), sum_value=("v", "sum"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "window_start"], sort=False, as_index=False)
+        return g.agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+
+    return (
+        events.map_batches(part, batch_format="pandas")
+        .repartition(8, keys=["user_id"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
 def sessionize(
     events: "rd.Dataset",
     *,
