@@ -394,7 +394,7 @@ def _q_link_prediction(sf_dir: str) -> pd.DataFrame:
 
     g = _graph(sf_dir, "co_supplier")
     out = link_prediction_scores(g, _lp_pairs(g)).to_pandas()
-    for c in ("adamic_adar", "resource_allocation"):
+    for c in ("adamic_adar", "resource_allocation", "jaccard", "overlap"):
         out[c] = out[c].round(6)
     return out.sort_values("u").reset_index(drop=True)
 
@@ -800,7 +800,11 @@ SELECT p.u AS u, p.v AS v,
   COALESCE(a.adamic_adar, 0.0) AS adamic_adar,
   COALESCE(a.resource_allocation, 0.0) AS resource_allocation,
   du.d * dv.d AS preferential_attachment,
-  du.d + dv.d - COALESCE(a.common_neighbors, 0) AS total_neighbors
+  du.d + dv.d - COALESCE(a.common_neighbors, 0) AS total_neighbors,
+  ROUND(COALESCE(a.common_neighbors, 0)::DOUBLE
+    / NULLIF(du.d + dv.d - COALESCE(a.common_neighbors, 0), 0), 6) AS jaccard,
+  ROUND(COALESCE(a.common_neighbors, 0)::DOUBLE
+    / NULLIF(LEAST(du.d, dv.d), 0), 6) AS overlap
 FROM pr p
 JOIN deg du ON du.vid = p.u JOIN deg dv ON dv.vid = p.v
 LEFT JOIN agg a ON a.u = p.u AND a.v = p.v

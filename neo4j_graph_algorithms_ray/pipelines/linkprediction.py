@@ -64,6 +64,12 @@ def _score_batch(batch: pa.Table, *, csr_ref, vids_ref) -> pa.Table:
             ra[i] = float(np.sum(1.0 / dc))
     du = deg[u].astype(np.int64)
     dv = deg[v].astype(np.int64)
+    total = du + dv - cn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaccard = np.where(total > 0, cn / total, 0.0)
+        overlap = np.where(
+            np.minimum(du, dv) > 0, cn / np.minimum(du, dv), 0.0
+        )
     return pa.table(
         {
             "u": batch["u"],
@@ -72,7 +78,12 @@ def _score_batch(batch: pa.Table, *, csr_ref, vids_ref) -> pa.Table:
             "adamic_adar": aa,
             "resource_allocation": ra,
             "preferential_attachment": du * dv,
-            "total_neighbors": du + dv - cn,
+            "total_neighbors": total,
+            # the reference's set-similarity functions
+            # (algo.similarity.jaccard / overlap — SURVEY §2.6) over
+            # neighbor sets
+            "jaccard": jaccard,
+            "overlap": overlap,
         }
     )
 
