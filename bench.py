@@ -10,11 +10,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...extras}
 
-``--scaling``: runs the headline twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (the sandbox substitute for N vs 4N
-cluster nodes — BASELINE.md §3; this VM exposes 32 usable cores, so
-the two levels measure real parallel speedup).
+``--scaling``: runs the headline in FRESH processes at num_cpus=2 and
+num_cpus=8 (N vs 4N CPUs, twice each, interleaved, best steady-state
+per level) on the same input and reports both throughputs + scaling
+efficiency — the sandbox substitute for N vs 4N cluster nodes
+(BASELINE.md §3). 2-vs-8 keeps both levels compute-bound; beyond ~16
+of this box's 32 cores the kernel saturates the single shared DRAM
+controller, which separate cluster nodes would not share.
 
 Timing split mirrors the reference's result envelope (loadMillis vs
 computeMillis, ``algo/.../results/AbstractResultBuilder.java``):
@@ -93,12 +95,12 @@ def headline(sf: str) -> dict:
 
     # derived edge table cached on disk (resumable-output discipline:
     # derive once, reuse across bench processes; honest flag below)
-    edir = f"/tmp/raygraph_bench/edges_sf{sf}_r{repos}_g6100"
+    edir = f"/tmp/raygraph_bench/edges_sf{sf}_r{repos}_g12000"
     derive_cached = os.path.exists(os.path.join(edir, "..done"))
     t0 = time.perf_counter()
     if not derive_cached:
         corpus = rd.read_parquet(cdir)
-        derived = derive_repo_links(corpus, max_group_size=6100)
+        derived = derive_repo_links(corpus, max_group_size=12000)
         derived.edges.write_parquet(os.path.join(edir, "edges"))
         np.save(os.path.join(edir, "vids.npy"), derived.vertices["vid"].to_numpy())
         open(os.path.join(edir, "..done"), "w").close()
@@ -197,14 +199,31 @@ def main() -> None:
 
 
 def scaling() -> None:
-    lo, hi = 8, 32
+    # N vs 4N CPUs. 2 vs 8 keeps BOTH levels compute-bound — at 16+ of
+    # this box's 32 cores the kernel saturates the single shared DRAM
+    # controller, which separate cluster nodes would not share (each
+    # node brings its own memory bandwidth). An 8-vs-32 supplementary
+    # run is recorded in BENCH/ with that caveat.
+    lo, hi = 2, 8
     results: dict = {}
     # two fresh processes per level, interleaved, best steady-state per
-    # level — damps transient noisy-neighbor interference on this VM
-    for n in (lo, hi, lo, hi):
+    # level — damps transient noisy-neighbor interference on this VM.
+    # hi goes first so a cold corpus/edge cache is built at full width.
+    import shutil
+
+    taskset = shutil.which("taskset")
+    for n in (hi, lo, hi, lo):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"]
+        if taskset:
+            # pin the whole Ray session (driver, raylet, workers) to n
+            # physical cores: ray.init(num_cpus=n) alone only limits
+            # SCHEDULING — the OS would still spread n workers across
+            # all 32 idle cores, giving the small "cluster" cache/turbo
+            # it wouldn't have. Pinning makes N CPUs mean N cores.
+            cmd = [taskset, "-c", f"0-{n-1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -233,8 +252,9 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3) if eff else None,
                 "basis": "median warm per-iteration throughput "
                 "(full-wall convergence seconds also reported per level)",
-                "note": "fresh ray.init per level; single-node sandbox "
-                "substitute for N vs 4N cluster sizes (32 usable cores)",
+                "note": "fresh ray.init per level, taskset-pinned to N "
+                "cores (num_cpus alone doesn't confine the OS); "
+                "single-node sandbox substitute for N vs 4N cluster sizes",
             }
         )
     )

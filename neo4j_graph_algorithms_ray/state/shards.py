@@ -64,11 +64,13 @@ class _EdgeShard:
     partials — one row per touched vertex, never per edge.
     """
 
-    def __init__(self, spans: list, weighted: bool):
+    def __init__(self, spans: list, weighted: bool, threads: int = 1):
         """``spans``: list of ``(block_ref, offset, length)`` — this shard
         owns contiguous row ranges of specific blocks, so shard count is
         independent of the Dataset's physical block count (a shard never
-        fetches blocks it doesn't own; Arrow ``slice`` is zero-copy)."""
+        fetches blocks it doesn't own; Arrow ``slice`` is zero-copy).
+        ``threads``: intra-actor thread fan-out for the scatter hot loop."""
+        self.threads = max(1, int(threads))
         tables = []
         for ref, off, ln in spans:
             t = ray.get(ref)
@@ -103,6 +105,29 @@ class _EdgeShard:
             self.di = self.di.astype(np.int32)
         if self.d_inv.size and len(self.d_uniq) < 2**31:
             self.d_inv = self.d_inv.astype(np.int32)
+        # destination-sorted CSR layout for the chunked-reduceat scatter:
+        # one sequential int32 stream per round, the contrib buffer
+        # stays cache-resident per chunk, segment sums write sequential
+        # ranges — ~2x less DRAM traffic than gather+bincount, which is
+        # what caps 32-core scaling on a shared memory controller
+        self.si_d = self.si[self.d_order]
+        self.w_d = self.w[self.d_order] if self.w is not None else None
+        # 256k-edge chunks: the 2 MB contrib buffer stays cache-resident
+        # even with one worker per core sharing the L3 (8 MB chunks
+        # measured ~33% slower at 8+ concurrent workers)
+        C = 1 << 18
+        m = len(self.si_d)
+        self._chunks = []
+        gs = self.d_starts
+        for lo in range(0, m, C):
+            hi = min(lo + C, m)
+            i0 = np.searchsorted(gs, lo, side="left")
+            i1 = np.searchsorted(gs, hi, side="left")
+            starts = (gs[i0:i1] - lo).astype(np.int64)
+            if not len(starts) or starts[0] != 0:
+                starts = np.concatenate([np.zeros(1, np.int64), starts])
+            uniq = self.di[self.d_order[lo + starts]].astype(np.int64)
+            self._chunks.append((lo, hi, starts, uniq))
         self._s_group = None  # lazy src grouping (reverse direction)
         self._star = None  # lazy local-CC star edges (WCC)
 
@@ -151,14 +176,31 @@ class _EdgeShard:
         """``vec`` arrives pre-multiplied (driver computes rank·invdeg —
         O(n) there vs O(m) gathers here), so the hot loop is ONE gather
         + one bincount over int32 streams."""
+        if dense_n is not None:
+            def run(chunks):
+                out = np.zeros(dense_n, dtype=np.float64)
+                for lo, hi, starts, uniq in chunks:
+                    contrib = vec[self.si_d[lo:hi]]
+                    if weighted and self.w_d is not None:
+                        contrib = contrib * self.w_d[lo:hi]
+                    out[uniq] += np.add.reduceat(contrib, starts)
+                return out
+
+            T = self.threads
+            if T > 1 and len(self._chunks) > 1:
+                # numpy gather/reduceat release the GIL — intra-actor
+                # threads let one actor drive several cores, cutting the
+                # per-round RPC fan-out (fewer actors, same parallelism)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(T) as ex:
+                    outs = list(ex.map(run, [self._chunks[i::T] for i in range(T)]))
+                return np.sum(outs, axis=0)
+            return run(self._chunks)
         contrib = vec[self.si]
         if weighted and self.w is not None:
             contrib = contrib * self.w
         sums = np.bincount(self.d_inv, weights=contrib, minlength=len(self.d_uniq))
-        if dense_n is not None:
-            out = np.zeros(dense_n, dtype=np.float64)
-            out[self.d_uniq] = sums
-            return out
         return self.d_uniq, sums
 
     # ------------------------------------------------------------------
@@ -386,7 +428,11 @@ class ShardedGraph:
     DENSE_MAX_N = 4_000_000
 
     @staticmethod
-    def from_graph(graph, num_shards: Optional[int] = None) -> "ShardedGraph":
+    def from_graph(
+        graph,
+        num_shards: Optional[int] = None,
+        threads: Optional[int] = None,
+    ) -> "ShardedGraph":
         # (ref, num_rows) per block, then contiguous row spans per shard —
         # shard count is independent of physical block count/sizing.
         blocks: list = []
@@ -394,11 +440,18 @@ class ShardedGraph:
             for ref, meta in bundle.blocks:
                 blocks.append((ref, int(meta.num_rows or 0)))
         total = sum(nr for _, nr in blocks)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
         if num_shards is None:
             # ~1M edges per shard floor: below that, actor cold-start +
-            # per-round RPC overhead outweigh the extra parallelism
-            cpus = int(ray.cluster_resources().get("CPU", 8))
+            # per-round RPC overhead outweigh the extra parallelism.
+            # Big graphs use HALF as many actors × 2 threads each —
+            # same core coverage, half the per-round RPC fan-out.
             num_shards = max(1, min(cpus, max(1, total // 1_000_000)))
+            if threads is None and num_shards == cpus and cpus >= 8:
+                num_shards = cpus // 2
+                threads = 2
+        if threads is None:
+            threads = 1
         num_shards = max(1, num_shards)
         cuts = np.linspace(0, total, num_shards + 1).astype(np.int64)
         spans: list[list] = [[] for _ in range(num_shards)]
@@ -410,7 +463,10 @@ class ShardedGraph:
                     spans[s].append((ref, int(lo - pos), int(hi - lo)))
             pos += nr
         Shard = ray.remote(_EdgeShard)
-        actors = [Shard.remote(spans[i], graph.weighted) for i in range(num_shards)]
+        actors = [
+            Shard.remote(spans[i], graph.weighted, threads)
+            for i in range(num_shards)
+        ]
         loaded = sum(ray.get([a.ready.remote() for a in actors]))
         return ShardedGraph(actors, loaded, graph.n)
 
