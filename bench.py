@@ -221,7 +221,10 @@ def scaling() -> None:
             # SCHEDULING — the OS would still spread n workers across
             # all 32 idle cores, giving the small "cluster" cache/turbo
             # it wouldn't have. Pinning makes N CPUs mean N cores.
-            cmd = [taskset, "-c", f"0-{n-1}"] + cmd
+            # High, disjoint core ranges keep both levels away from the
+            # low core ids where system daemons cluster.
+            cores = f"16-{16+n-1}" if n == lo else f"24-{24+n-1}"
+            cmd = [taskset, "-c", cores] + cmd
         out = subprocess.run(
             cmd,
             env=env,
