@@ -125,13 +125,13 @@ def headline(sf: str) -> dict:
     pagerank(g, PageRankConfig(tolerance=1e-6, max_iterations=200))
     t_pr = min(t_pr, time.perf_counter() - t0)
 
-    # steady-state per-iteration throughput: best-of-3 medians over 12
+    # steady-state per-iteration throughput: best-of-5 medians over 12
     # warm rounds each — the scaling-efficiency metric (full-wall times
     # swing ±2-3x with OS page-cache / object-store / noisy-neighbor
     # state; the best steady-state median is the per-level capability a
     # cluster-size comparison needs)
     warm_iter = None
-    for _ in range(3):
+    for _ in range(5):
         warm = pagerank(g, PageRankConfig(fixed_iterations=12))
         iter_secs = sorted(warm.metrics["iteration_seconds"])
         med = iter_secs[len(iter_secs) // 2]
@@ -212,7 +212,7 @@ def scaling() -> None:
     import shutil
 
     taskset = shutil.which("taskset")
-    for n in (hi, lo, hi, lo):
+    for n in (hi, lo, hi, lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"]
         if taskset:
