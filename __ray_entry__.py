@@ -290,7 +290,10 @@ def _q_quality(sf_dir: str) -> pd.DataFrame:
 
     q = quality_scores(_docs(sf_dir)).to_pandas()
     for c in ("mean_token_len", "alpha_ratio", "stopword_ratio", "quality"):
-        q[c] = q[c].round(6)
+        # half-away-from-zero (DuckDB ROUND semantics) — these ratios can
+        # land exactly on x.xxxxxx5 (e.g. 105/128), where numpy's
+        # half-even rounding diverges from the oracle
+        q[c] = np.floor(q[c].to_numpy() * 1e6 + 0.5) / 1e6
     return q
 
 
@@ -298,7 +301,11 @@ def _q_closeness(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.paths import closeness_table
 
     g = _graph(sf_dir, "cyclic")
-    t = closeness_table(g, variant="harmonic", sources=np.arange(min(g.n, 64))).to_pandas()
+    # predicate-based source sample (vid < 64) — deterministic AND
+    # SQL-expressible (a DuckDB 1.0 quirk drops rows when a recursive
+    # anchor reads a LIMIT/window CTE, so "64 smallest" is out)
+    sources = np.flatnonzero(g.vids < 64)
+    t = closeness_table(g, variant="harmonic", sources=sources).to_pandas()
     t["centrality"] = t["centrality"].round(6)
     return t
 
@@ -346,8 +353,12 @@ def _q_article_rank_k5(sf_dir: str) -> pa.Table:
 def _q_eigenvector_top10(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.pagerank import eigenvector_centrality
 
-    g = _graph(sf_dir, "bipartite")
-    res = eigenvector_centrality(g)
+    # CYCLIC graph: on the directed bipartite graph the A^T power
+    # iteration collapses to the zero vector in two rounds (customers
+    # have no in-edges), which is degenerate for this operator
+    g = _graph(sf_dir, "cyclic")
+    # pinned round count so the unrolled-CTE oracle reproduces it exactly
+    res = eigenvector_centrality(g, fixed_iterations=10)
     r = np.round(res.ranks, 6)
     order = np.lexsort((g.vids, -r))[:10]
     return pa.table({"vid": g.vids[order], "score": r[order]})
@@ -498,6 +509,67 @@ def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _items_ds(sf_dir: str):
+    """(e=o_custkey, i=l_suppkey) categorical item sets for the
+    set-similarity procedures — small-side broadcast join as in tpch."""
+    import ray
+    import ray.data as rd
+
+    orders = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+        ).to_pandas()
+    )
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    order = np.argsort(okeys)
+    ref = ray.put((okeys[order], ocust[order]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        ok, oc = ray.get(ref)
+        lo = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, lo)
+        return pa.table({"e": oc[pos], "i": ls})
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    ).map_batches(join, batch_format="pyarrow")
+
+
+def _q_jaccard_sets(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.setsimilarity import set_similarity_topk
+
+    t = set_similarity_topk(
+        _items_ds(sf_dir), metric="jaccard", topk=3, cutoff=0.4
+    ).to_pandas()
+    t["similarity"] = t["similarity"].round(6)
+    return t
+
+
+def _q_overlap_sets(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.setsimilarity import set_similarity_topk
+
+    t = set_similarity_topk(
+        _items_ds(sf_dir), metric="overlap", topk=3, cutoff=0.8
+    ).to_pandas()
+    t["similarity"] = t["similarity"].round(6)
+    return t
+
+
+def _q_node2vec_walks(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.walks import node2vec_walks
+
+    g = _graph(sf_dir, "cyclic")
+    starts = np.sort(g.vids)[:8]
+    return (
+        node2vec_walks(g, starts, steps=6, p=0.5, q=2.0, seed=42, directed=True)
+        .to_pandas()
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
 def entry() -> Any:
     """Flagship: sf0.001 derived bipartite graph → PageRank to 1e-6."""
     import ray.data as rd
@@ -561,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "lang_id_guess": _q_lang_id,
         "quality_scores": _q_quality,
+        "jaccard_sets_topk": _q_jaccard_sets,
+        "overlap_sets_topk": _q_overlap_sets,
+        "node2vec_walks": _q_node2vec_walks,
     }
 
 
@@ -684,6 +759,117 @@ l{i} AS (
 )"""
         )
     return ",\n".join(parts)
+
+
+def _eigen_cte(k: int) -> str:
+    """Unrolled L2-normalized power iteration on A^T (eigenvector
+    centrality, fixed k rounds from the uniform unit vector)."""
+    # every e{i} is referenced EXACTLY once (by e{i+1}) and the L2 norm
+    # comes from a whole-frame window aggregate — a separate norm CTE
+    # would be a second reference, which either doubles the inlined plan
+    # per iteration (2^k blowup) or trips DuckDB 1.0's materialized-CTE
+    # execution bug (downstream levels read empty results)
+    parts = [
+        "e0 AS (SELECT vid, "
+        "1.0 / sqrt((SELECT COUNT(*) FROM vertices)) AS r FROM vertices)"
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""e{i} AS (
+  SELECT vid, r / sqrt(SUM(r * r) OVER ()) AS r FROM (
+    SELECT v.vid, COALESCE(s.c, 0.0::DOUBLE) AS r
+    FROM vertices v LEFT JOIN (
+      SELECT e.dst AS vid, SUM(p.r) AS c
+      FROM e{i-1} p JOIN edges e ON e.src = p.vid GROUP BY e.dst
+    ) s ON s.vid = v.vid
+  )
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _lang_score_sql(lang: str) -> str:
+    from neo4j_graph_algorithms_ray.stages.text import _STOPWORDS
+
+    return (
+        "("
+        + " + ".join(
+            f"list_contains(words, '{w}')::INT" for w in sorted(_STOPWORDS[lang])
+        )
+        + ")"
+    )
+
+
+def _closeness_sql(levels: int = 8) -> str:
+    """Harmonic closeness from the vid<64 source sample over the
+    undirected cyclic graph — UNROLLED level-synchronous BFS (one
+    materialized frontier CTE per depth + anti-join against the seen
+    set). A recursive-CTE closure over (s, v, d) re-enumerates every
+    non-minimal depth and runs minutes; the unrolled form is seconds.
+    ``levels`` must exceed the sampled eccentricity (measured 4 at
+    sf0.01; 8 gives margin)."""
+    parts = [
+        f"""und AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
+),
+vx AS MATERIALIZED (SELECT DISTINCT vid FROM vertices),
+f0 AS MATERIALIZED (SELECT vid AS s, vid AS v FROM vx WHERE vid < 64),
+seen0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.s, u.b AS v
+  FROM f{k-1} f JOIN und u ON u.a = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM seen{k-1} x WHERE x.s = f.s AND x.v = u.b)
+),
+seen{k} AS MATERIALIZED (
+  SELECT s, v FROM seen{k-1} UNION ALL SELECT s, v FROM f{k}
+)"""
+        )
+    md = "\nUNION ALL ".join(
+        f"SELECT s, v, {k} AS d FROM f{k}" for k in range(1, levels + 1)
+    )
+    return f"""WITH {_E_CYC},
+{",".join(parts)},
+md AS ({md}),
+far AS (SELECT v, SUM(1.0 / d) AS f FROM md GROUP BY v)
+SELECT vt.vid,
+  ROUND(COALESCE(f.f, 0.0) / ((SELECT COUNT(*) FROM vx) - 1), 6) AS centrality
+FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
+
+
+def _set_sim_sql(metric_expr: str, cutoff: float) -> str:
+    return f"""WITH items AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS e, l_suppkey AS i
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+sz AS (SELECT e, COUNT(*) AS s FROM items GROUP BY e),
+inter AS (
+  SELECT a.e AS ea, b.e AS eb, COUNT(*)::DOUBLE AS c
+  FROM items a JOIN items b ON a.i = b.i AND a.e < b.e
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT ea, eb, {metric_expr} AS similarity
+  FROM inter JOIN sz sa ON sa.e = ea JOIN sz sb ON sb.e = eb
+),
+bothdir AS (SELECT ea AS a, eb AS b, similarity FROM sim
+            UNION ALL SELECT eb, ea, similarity FROM sim),
+ranked AS (
+  SELECT a, b, similarity,
+         ROW_NUMBER() OVER (PARTITION BY a
+                            ORDER BY similarity DESC, b) AS rank
+  FROM bothdir WHERE similarity >= {cutoff}
+)
+SELECT a AS entity_a, b AS entity_b, rank, ROUND(similarity, 6) AS similarity
+FROM ranked WHERE rank <= 3"""
+
+
+def _en_stop_list() -> str:
+    from neo4j_graph_algorithms_ray.stages.text import _STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS["en"])) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -829,8 +1015,8 @@ member AS (
   UNION ALL SELECT c, p FROM signed
 )
 SELECT vid,
-  SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS balanced,
-  SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS unbalanced
+  SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END)::BIGINT AS balanced,
+  SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END)::BIGINT AS unbalanced
 FROM member GROUP BY vid""",
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
         "token_stats": r"""SELECT doc_id,
@@ -879,4 +1065,107 @@ FROM events GROUP BY user_id, date_trunc('day', ts)""",
   ROUND(SUM(value), 6) AS sum_value
 FROM events CROSS JOIN generate_series(0, 3) i
 GROUP BY 1, 2""",
+        "sessionize": """WITH d AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, SUM(brk)::BIGINT AS n_sessions, COUNT(*)::BIGINT AS n_events
+FROM d GROUP BY user_id""",
+        "delta_stepping_sssp": f"""WITH RECURSIVE {_E_WBIP},
+und AS (SELECT src AS a, dst AS b, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+walk AS (
+  SELECT (SELECT MIN(vid) FROM vertices) AS v, 0.0::DOUBLE AS d
+  UNION
+  SELECT u.b, walk.d + u.weight FROM walk JOIN und u ON u.a = walk.v
+  WHERE walk.d + u.weight <= 30
+)
+SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
+        "closeness_harmonic_sampled": _closeness_sql(levels=8),
+        # plain CTEs on purpose: DuckDB 1.0 returns EMPTY results on the
+        # second consumption of a MATERIALIZED CTE built over parquet
+        # views, and the single-reference chain in _eigen_cte keeps the
+        # inlined plan linear (≈10 re-scans, no 2^k blowup)
+        "eigenvector_top10": f"""WITH {_E_CYC}, {_eigen_cte(10)}
+SELECT vid, ROUND(r, 6) AS score FROM e10
+ORDER BY ROUND(r, 6) DESC, vid LIMIT 10""",
+        "pearson_topk": """WITH cent AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x - list_aggregate(embedding::DOUBLE[], 'avg')) AS c
+  FROM embeddings
+),
+q AS (SELECT vec_id, c FROM cent WHERE vec_id IN (0, 1, 2, 3)),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(q.c, e.c) AS score
+  FROM q, cent e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, rank, ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 5""",
+        "embedding_neardup": """WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.35""",
+        "lang_id_guess": rf"""WITH w AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(substr(text, 1, 2000)),
+                       '[\p{{L}}\p{{N}}_'']+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    {_lang_score_sql('en')} AS en, {_lang_score_sql('de')} AS de,
+    {_lang_score_sql('fr')} AS fr, {_lang_score_sql('es')} AS es
+  FROM w
+)
+SELECT doc_id, CASE
+  WHEN en >= 2 AND en >= de AND en >= fr AND en >= es THEN 'en'
+  WHEN de >= 2 AND de > en AND de >= fr AND de >= es THEN 'de'
+  WHEN fr >= 2 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+  WHEN es >= 2 AND es > en AND es > de AND es > fr THEN 'es'
+  ELSE 'other' END AS lang_guess
+FROM s""",
+        "quality_scores": rf"""WITH b AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_replace(text, '\s+', '', 'g')) AS total_len,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(text) AS n_chars,
+    len(list_filter(regexp_extract_all(text, '\S+'),
+        x -> list_contains({_en_stop_list()}, lower(x)))) AS sw
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens > 0 THEN total_len::DOUBLE / n_tokens
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN alpha::DOUBLE / n_chars
+         ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_tokens > 0 THEN sw::DOUBLE / n_tokens
+         ELSE 0.0 END AS stopword_ratio
+  FROM b
+)
+SELECT doc_id, n_tokens,
+  ROUND(mean_token_len, 6) AS mean_token_len,
+  ROUND(alpha_ratio, 6) AS alpha_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * alpha_ratio
+        + 0.2 * (stopword_ratio > 0)::INT, 6) AS quality
+FROM c""",
+        "jaccard_sets_topk": _set_sim_sql("c / (sa.s + sb.s - c)", 0.4),
+        "overlap_sets_topk": _set_sim_sql("c / LEAST(sa.s, sb.s)", 0.8),
     }

@@ -159,7 +159,7 @@ def _wcc_actor(
     if checkpoint is not None and checkpoint.resume:
         k = latest_complete(checkpoint)
         if k is not None:
-            _, vectors, _ = load_iteration(checkpoint, k)
+            _, vectors, _ = load_iteration(checkpoint, k, expect_vids=graph.vids)
             labels = vectors["label"]
             rounds = k
     while True:
@@ -336,7 +336,59 @@ def _scc_bwd_round(edges, n: int, reached: np.ndarray, color: np.ndarray, combin
     return reached | (hits > 0)
 
 
-def scc(graph: GraphTables, combine: str = "driver", engine: str = "auto") -> SCCResult:
+def _scc_trim(
+    edges, n: int, active: np.ndarray, sccid: np.ndarray, combine: str
+) -> int:
+    """MultiStep trim (reference
+    ``algo/.../impl/multistep/MultiStepTrim.java``): iteratively peel
+    active vertices with no active in-edge or no active out-edge — each
+    is a singleton SCC; on peelable (web-ish / DAG-ish) graphs this
+    removes most vertices in a few O(m) sweeps before the FW-BW
+    coloring starts. Mutates ``active``/``sccid`` in place, returns the
+    number of trim rounds run."""
+    rounds = 0
+    while True:
+        a_ref = ray.put(active)
+
+        def mark_partial(which: str, _a=a_ref):
+            def partial(batch: pa.Table) -> pa.Table:
+                si = batch["si"].to_numpy(zero_copy_only=False)
+                di = batch["di"].to_numpy(zero_copy_only=False)
+                act = ray.get(_a)
+                m = act[si] & act[di] & (si != di)  # self-loops can't save
+                if not m.any():
+                    z = np.empty(0, np.int64)
+                    return pa.table({"idx": z, "val": z})
+                idx = np.unique((si if which == "si" else di)[m])
+                return pa.table({"idx": idx, "val": np.ones(len(idx), np.int64)})
+
+            return partial
+
+        has_out = scatter_combine(
+            edges, mark_partial("si"), n, op="max", combine=combine,
+            init=np.zeros(n, np.int64), dtype=np.int64,
+        ) > 0
+        has_in = scatter_combine(
+            edges, mark_partial("di"), n, op="max", combine=combine,
+            init=np.zeros(n, np.int64), dtype=np.int64,
+        ) > 0
+        peel = active & ~(has_out & has_in)
+        if not peel.any():
+            break
+        sccid[peel] = np.flatnonzero(peel)
+        active &= ~peel
+        rounds += 1
+        if not active.any():
+            break
+    return rounds
+
+
+def scc(
+    graph: GraphTables,
+    combine: str = "driver",
+    engine: str = "auto",
+    trim: bool = True,
+) -> SCCResult:
     t0 = time.perf_counter()
     n = graph.n
     edges = graph.edges
@@ -344,6 +396,7 @@ def scc(graph: GraphTables, combine: str = "driver", engine: str = "auto") -> SC
     sg = graph.sharded() if use_actor else None
     sccid = np.full(n, -1, dtype=np.int64)  # dense idx of scc min member
     active = np.ones(n, dtype=bool)
+    trim_rounds = _scc_trim(edges, n, active, sccid, combine) if trim else 0
     outer = 0
     SENT = n  # sentinel color for inactive vertices
     while active.any():

@@ -4,29 +4,31 @@ First-class training-data operators (task brief): exact (hash),
 MinHash+LSH near-dup, SimHash near-dup, n-gram Jaccard verification,
 embedding-cosine near-dup (see similarity.py). All follow the same
 shape: vectorized sketch per batch → hash-repartition on the bucket
-key so groups are block-complete → per-block candidate generation →
-verification → connected components over dup pairs (min-label).
+key so groups are block-complete → per-block candidate generation
+(bucket-size-capped against degenerate-hash blowup) → verification →
+connected components over the dup-pair DATASET via
+``pipelines.components.wcc`` (min-label semantics) — pairs never
+materialize on the driver before grouping; only the final O(#dups)
+pair/group tables are collected.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
-import ray
 import ray.data as rd
 
 from ..stages.minhash import (
     char_shingles_u64,
     hamming64,
-    lsh_bands,
+    lsh_band_matrix,
     minhash_signature,
-    signature_jaccard,
-    simhash64,
 )
 from ..stages.text import sha256_hex
+from ..state.partitioning import shuffle_width
 
 
 def dedup_exact(
@@ -51,35 +53,64 @@ def dedup_exact(
 
     return (
         docs.map_batches(add_sha, batch_format="pandas")
-        .repartition(8, keys=["sha"])
+        .repartition(shuffle_width(), keys=["sha"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
 
 @dataclass
 class NearDupResult:
-    pairs: pd.DataFrame  # doc_a, doc_b, similarity estimate
+    pairs: pd.DataFrame  # doc_a, doc_b, similarity estimate (O(#dups))
     groups: pd.DataFrame  # doc_id, group_id (= min doc_id of component)
 
 
-def _pairs_to_groups(pairs: pd.DataFrame, a="doc_a", b="doc_b") -> pd.DataFrame:
-    """Connected components over dup pairs (driver union-find — the
-    candidate-pair set is small by construction; the dataflow path for
-    huge pair sets is pipelines.components.wcc)."""
-    parent: dict[int, int] = {}
+def _pairs_dataset_to_result(
+    pairs_ds: "rd.Dataset", sim_col: str = "similarity"
+) -> NearDupResult:
+    """Dedup the candidate-pair Dataset distributed (hash repartition on
+    doc_a + per-block fold) and derive groups with the distributed WCC
+    kernel (min-label fixpoint = "group id is the min member id", the
+    same semantics as a union-find). Only the folded pair table and the
+    O(#docs-in-pairs) group table reach the driver."""
+    from ..state.graph import GraphTables
+    from .components import wcc
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)[
+            sim_col
+        ].max()
 
-    for x, y in zip(pairs[a], pairs[b]):
-        rx, ry = find(int(x)), find(int(y))
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-    rows = sorted((d, find(d)) for d in parent)
-    return pd.DataFrame(rows, columns=["doc_id", "group_id"]).astype("int64")
+    deduped = (
+        pairs_ds.repartition(shuffle_width(), keys=["doc_a"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .materialize()  # consumed twice: WCC projection + final collect
+    )
+    if deduped.count() == 0:
+        pairs = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                sim_col: pd.Series([], dtype="float64"),
+            }
+        )
+        groups = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "group_id": pd.Series([], dtype="int64")}
+        )
+        return NearDupResult(pairs=pairs, groups=groups)
+    g = GraphTables.from_dataset(deduped, src="doc_a", dst="doc_b")
+    comp = wcc(g)
+    groups = pd.DataFrame(
+        {"doc_id": g.vids, "group_id": comp.components}
+    ).astype("int64")
+    pairs = (
+        deduped.to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return NearDupResult(pairs=pairs, groups=groups)
 
 
 def minhash_lsh_neardup(
@@ -90,58 +121,85 @@ def minhash_lsh_neardup(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int = 5000,
 ) -> NearDupResult:
     """MinHash+LSH near-duplicate detection.
 
     Default 16 bands × 4 rows: the LSH s-curve midpoint is
     (1/bands)^(1/rows) ≈ 0.5, matched to the default ``threshold``.
 
-    shingle → minhash per batch; explode to (band_id, band_hash, doc_id,
+    shingle → minhash per batch (band rows built as numpy columns, no
+    per-row Python loops); explode to (band_id, band_hash, doc_id,
     signature); hash-repartition on band_hash; per-block bucket scan
     emits candidate pairs verified by signature-estimated Jaccard ≥
-    threshold; min-label components give group ids.
+    threshold. Buckets larger than ``max_bucket`` are skipped — a
+    degenerate band hash would otherwise emit O(B²) pairs (same
+    heavy-key stop as corpus.py's ``max_group_size``). Groups come from
+    distributed WCC over the pair Dataset.
     """
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64)
-        sigs = [
-            minhash_signature(char_shingles_u64(t), num_perm) for t in df[text_col]
-        ]
-        rows = []
-        for i, sig in zip(ids, sigs):
-            bh = lsh_bands(sig, bands)
-            for bidx in range(bands):
-                rows.append((int(bidx), int(bh[bidx]) >> 1, int(i), sig.tobytes()))
-        return pd.DataFrame(rows, columns=["band_id", "band_hash", "doc_id", "sig"])
+        sigs = np.stack(
+            [
+                minhash_signature(char_shingles_u64(t), num_perm)
+                for t in df[text_col]
+            ]
+        )
+        bh = lsh_band_matrix(sigs, bands)  # (n, bands)
+        n = len(ids)
+        return pd.DataFrame(
+            {
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": (bh >> np.uint64(1)).astype(np.int64).reshape(-1),
+                "doc_id": np.repeat(ids, bands),
+                "sig": np.repeat(
+                    np.array([s.tobytes() for s in sigs], dtype=object), bands
+                ),
+            }
+        )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
+            if len(grp) < 2 or len(grp) > max_bucket:
                 continue
             ids = grp["doc_id"].to_numpy(np.int64)
-            sigs = [np.frombuffer(s, dtype=np.uint64) for s in grp["sig"]]
             order = np.argsort(ids)
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    x, y = order[ii], order[jj]
-                    est = signature_jaccard(sigs[x], sigs[y])
-                    if est >= threshold:
-                        out.append((int(ids[x]), int(ids[y]), est))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "similarity"])
+            ids = ids[order]
+            sigm = np.stack(
+                [
+                    np.frombuffer(s, dtype=np.uint64)
+                    for s in grp["sig"].to_numpy()[order]
+                ]
+            )
+            ii, jj = np.triu_indices(len(ids), 1)
+            est = (sigm[ii] == sigm[jj]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ii[keep]],
+                            "doc_b": ids[jj[keep]],
+                            "similarity": est[keep],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "similarity": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
 
     cand = (
         docs.map_batches(sketch, batch_format="pandas")
-        .repartition(8, keys=["band_hash"])
+        .repartition(shuffle_width(), keys=["band_hash"])
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
-    pairs = cand.to_pandas()
-    if len(pairs):
-        pairs = (
-            pairs.groupby(["doc_a", "doc_b"], as_index=False)["similarity"].max()
-        )
-    groups = _pairs_to_groups(pairs)
-    return NearDupResult(pairs=pairs, groups=groups)
+    return _pairs_dataset_to_result(cand)
 
 
 def simhash_neardup(
@@ -150,47 +208,65 @@ def simhash_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 5000,
 ) -> NearDupResult:
     """SimHash near-dup: 4 16-bit bands (any ≤3-bit-different pair shares
-    ≥1 exact band), bucket scan verifies true Hamming distance."""
+    ≥1 exact band), bucket scan verifies true Hamming distance. Same
+    bucket-cap + pair-Dataset + distributed-WCC assembly as minhash."""
+    from ..stages.minhash import simhash64
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64)
-        sh = simhash64(df[text_col])
-        rows = []
-        for i, h in zip(ids, sh):
-            for bidx in range(4):
-                rows.append((bidx, int((h >> (16 * bidx)) & 0xFFFF), int(i), int(h)))
-        return pd.DataFrame(rows, columns=["band_id", "band_hash", "doc_id", "simhash"])
+        sh = simhash64(df[text_col]).astype(np.int64)
+        n = len(ids)
+        band_id = np.tile(np.arange(4, dtype=np.int64), n)
+        hashes = np.repeat(sh, 4)
+        shift = band_id * 16
+        return pd.DataFrame(
+            {
+                "band_id": band_id,
+                "band_hash": (hashes >> shift) & 0xFFFF,
+                "doc_id": np.repeat(ids, 4),
+                "simhash": hashes,
+            }
+        )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = []
         for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2:
+            if len(grp) < 2 or len(grp) > max_bucket:
                 continue
             ids = grp["doc_id"].to_numpy(np.int64)
             hs = grp["simhash"].to_numpy(np.int64)
             o = np.argsort(ids)
             ids, hs = ids[o], hs[o]
-            for ii in range(len(ids)):
-                d = hamming64(hs[ii + 1 :], np.repeat(hs[ii], len(ids) - ii - 1))
-                for jj in np.flatnonzero(d <= max_hamming):
-                    out.append((int(ids[ii]), int(ids[ii + 1 + jj]), int(d[jj])))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+            ii, jj = np.triu_indices(len(ids), 1)
+            d = hamming64(hs[ii], hs[jj])
+            keep = d <= max_hamming
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_a": ids[ii[keep]],
+                            "doc_b": ids[jj[keep]],
+                            "similarity": 1.0 - d[keep] / 64.0,
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "similarity": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
 
     cand = (
         docs.map_batches(sketch, batch_format="pandas")
-        .repartition(8, keys=["band_hash"])
+        .repartition(shuffle_width(), keys=["band_hash"])
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
-    pairs = cand.to_pandas()
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["doc_a", "doc_b"])
-        pairs["similarity"] = 1.0 - pairs.pop("hamming") / 64.0
-    else:
-        pairs["similarity"] = pd.Series([], dtype="float64")
-    groups = _pairs_to_groups(pairs)
-    return NearDupResult(pairs=pairs, groups=groups)
+    return _pairs_dataset_to_result(cand)
 
 
 def ngram_jaccard_pairs(
@@ -202,34 +278,71 @@ def ngram_jaccard_pairs(
     k: int = 5,
 ) -> pd.DataFrame:
     """EXACT n-gram Jaccard for given candidate pairs (verification stage
-    after a sketch prefilter): broadcast the candidate id set, collect
-    only those shingle sets, score pairs."""
-    wanted = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
-    w_ref = ray.put(wanted)
+    after a sketch prefilter): ship the candidate PAIR LIST to the
+    tasks, score each pair inside the block that holds both docs after a
+    hash repartition on a per-pair home key — no driver-side shingle
+    dictionary; the driver only concatenates the per-pair score rows
+    (O(#candidates))."""
+    import ray
 
-    def shingle_sets(df: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(w_ref)
-        sel = df[df[id_col].isin(w)]
+    if not len(candidate_pairs):
+        out = candidate_pairs.copy()
+        out["jaccard"] = pd.Series([], dtype="float64")
+        return out
+    pr = candidate_pairs[["doc_a", "doc_b"]].astype("int64")
+    # home each pair on doc_a; ship (sorted) wanted-doc → home rows
+    wanted = np.unique(np.concatenate([pr["doc_a"], pr["doc_b"]]))
+    pair_ref = ray.put(
+        (pr["doc_a"].to_numpy(np.int64), pr["doc_b"].to_numpy(np.int64), wanted)
+    )
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        da, db, want = ray.get(pair_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        pos = np.searchsorted(want, ids)
+        sel = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        sub = df.loc[sel]
+        rows_id, rows_home, rows_sh = [], [], []
+        for i, t in zip(sub[id_col].to_numpy(np.int64), sub[text_col]):
+            sh = char_shingles_u64(t, k).tobytes()
+            # a doc is shipped once per pair it participates in (either
+            # side); every pair's home block is its doc_a
+            for home in da[(da == i) | (db == i)]:
+                rows_id.append(i)
+                rows_home.append(int(home))
+                rows_sh.append(sh)
         return pd.DataFrame(
-            {
-                "doc_id": sel[id_col].to_numpy(np.int64),
-                "shingles": [
-                    char_shingles_u64(t, k).tobytes() for t in sel[text_col]
-                ],
-            }
+            {"home": rows_home, "doc_id": rows_id, "shingles": rows_sh}
         )
 
-    sets = docs.map_batches(shingle_sets, batch_format="pandas").to_pandas()
-    lookup = {
-        int(r.doc_id): np.frombuffer(r.shingles, dtype=np.uint64)
-        for r in sets.itertuples()
-    }
-    sims = []
-    for a, b in zip(candidate_pairs["doc_a"], candidate_pairs["doc_b"]):
-        sa, sb = lookup[int(a)], lookup[int(b)]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        sims.append(inter / union if union else 1.0)
-    out = candidate_pairs.copy()
-    out["jaccard"] = sims
+    parts = (
+        docs.map_batches(shingle_rows, batch_format="pandas")
+        .repartition(shuffle_width(), keys=["home"])
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        da, db, _ = ray.get(pair_ref)
+        lookup: dict[tuple[int, int], np.ndarray] = {}
+        for home, did, sh in zip(df["home"], df["doc_id"], df["shingles"]):
+            lookup[(int(home), int(did))] = np.frombuffer(sh, dtype=np.uint64)
+        # only pairs homed in this block can score here
+        local = np.isin(da, df["home"].unique())
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(da[local], db[local]):
+            sa = lookup.get((int(a), int(a)))
+            sb = lookup.get((int(a), int(b)))
+            if sa is None or sb is None:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(inter / union if union else 1.0)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
+
+    scored = (
+        parts.map_batches(score, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    out = candidate_pairs.merge(scored, on=["doc_a", "doc_b"], how="left")
     return out

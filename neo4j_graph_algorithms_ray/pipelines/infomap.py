@@ -116,13 +116,30 @@ def _move_loop(triples_fn, p: np.ndarray, s: np.ndarray, n: int, max_rounds: int
         move = bg < -1e-12
         if not move.any():
             break
-        new_comm = comm.copy()
-        new_comm[bt[move]] = bc[move]
-        res = stats(new_comm)
-        if res[5] >= L - 1e-12:
+        # synchronous application: per-vertex dL estimates ignore
+        # interactions between simultaneous moves, so the full
+        # recompute can reject the batch. Instead of aborting the
+        # loop, retry geometrically smaller prefixes of the
+        # best-gain-first move list (deterministic, ≤log2 extra
+        # sweeps) — a single non-interacting move always exists when
+        # any strict improvement does.
+        mt, mc = bt[move], bc[move]
+        g_rank = np.argsort(bg[move], kind="stable")  # most negative first
+        mt, mc = mt[g_rank], mc[g_rank]
+        applied = False
+        k = len(mt)
+        while k >= 1:
+            new_comm = comm.copy()
+            new_comm[mt[:k]] = mc[:k]
+            res = stats(new_comm)
+            if res[5] < L - 1e-12:
+                comm = new_comm
+                tgt, cand, f, q, sump, L = res
+                applied = True
+                break
+            k //= 2
+        if not applied:
             break
-        comm = new_comm
-        tgt, cand, f, q, sump, L = res
     return comm, L, rounds
 
 
@@ -169,7 +186,11 @@ def infomap(
             break
         # cross-module flows from one triples sweep under `comm`
         tgt, cand, f = sg.flow_votes(comm, A)
-        ca = inv[comm[tgt]]
+        # inv maps VERTEX index -> coarse module index; tgt is a vertex,
+        # so index inv by tgt directly (inv[comm[tgt]] would resolve the
+        # label-holder vertex's module, which is wrong once the holder
+        # itself has moved)
+        ca = inv[tgt]
         cb = np.searchsorted(cu, cand)
         cross = ca != cb
         ca, cb, cf = _agg_triples(ca[cross], cb[cross], f[cross])

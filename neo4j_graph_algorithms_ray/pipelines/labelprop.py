@@ -43,6 +43,7 @@ from ..state.checkpoint import (
     save_iteration,
 )
 from ..state.graph import GraphTables
+from ..state.partitioning import shuffle_width
 
 
 @dataclass(frozen=True)
@@ -115,7 +116,7 @@ def label_propagation(
     if ckpt is not None and ckpt.resume:
         k = latest_complete(ckpt)
         if k is not None:
-            _, vectors, _ = load_iteration(ckpt, k)
+            _, vectors, _ = load_iteration(ckpt, k, expect_vids=graph.vids)
             labels = vectors["label"]
             it = k
 
@@ -166,7 +167,7 @@ def label_propagation(
                 v = df.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
                 return _argmax_votes(v)
 
-            parts = parts.repartition(8, keys=["idx"]).map_batches(
+            parts = parts.repartition(shuffle_width(), keys=["idx"]).map_batches(
                 fold_argmax, batch_format="pandas", batch_size=None
             )
         chunks = [

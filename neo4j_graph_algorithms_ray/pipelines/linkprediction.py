@@ -46,8 +46,17 @@ def _full_csr(u: np.ndarray, v: np.ndarray, n: int):
 def _score_batch(batch: pa.Table, *, csr_ref, vids_ref) -> pa.Table:
     indptr, nbrs, deg = ray.get(csr_ref)
     vids = ray.get(vids_ref)
-    u = np.searchsorted(vids, batch["u"].to_numpy(zero_copy_only=False))
-    v = np.searchsorted(vids, batch["v"].to_numpy(zero_copy_only=False))
+    u_in = batch["u"].to_numpy(zero_copy_only=False)
+    v_in = batch["v"].to_numpy(zero_copy_only=False)
+    u = np.searchsorted(vids, u_in)
+    v = np.searchsorted(vids, v_in)
+    # searchsorted returns len(vids) for too-large vids and an arbitrary
+    # slot for absent-but-in-range ones — validate membership explicitly
+    bad_u = (u >= len(vids)) | (vids[np.minimum(u, len(vids) - 1)] != u_in)
+    bad_v = (v >= len(vids)) | (vids[np.minimum(v, len(vids) - 1)] != v_in)
+    if bad_u.any() or bad_v.any():
+        missing = np.unique(np.concatenate([u_in[bad_u], v_in[bad_v]]))[:5]
+        raise KeyError(f"pair vids not in graph: {missing.tolist()}")
     cn = np.zeros(len(u), dtype=np.int64)
     aa = np.zeros(len(u), dtype=np.float64)
     ra = np.zeros(len(u), dtype=np.float64)

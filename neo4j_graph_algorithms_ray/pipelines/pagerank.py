@@ -120,7 +120,7 @@ def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> P
     if ckpt is not None and ckpt.resume:
         k = latest_complete(ckpt)
         if k is not None:
-            _, vectors, _ = load_iteration(ckpt, k)
+            _, vectors, _ = load_iteration(ckpt, k, expect_vids=graph.vids)
             ranks = vectors["rank"]
             start_iter = k
 
@@ -233,14 +233,19 @@ def eigenvector_centrality(
     graph: GraphTables,
     tolerance: float = 1e-8,
     max_iterations: int = 200,
+    fixed_iterations: Optional[int] = None,
 ) -> PageRankResult:
     """Eigenvector centrality (reference [later-branch] eigenvector
     variant of PageRankProc): power iteration on A^T with L2
-    normalization per round; converges to the principal eigenvector."""
+    normalization per round; converges to the principal eigenvector.
+    ``fixed_iterations`` pins the round count (no tolerance early-stop)
+    so results are oracle-reproducible."""
     n = graph.n
     sg = graph.sharded()
     ranks = np.full(n, 1.0 / np.sqrt(n) if n else 0.0, dtype=np.float64)
     it, delta, converged = 0, float("inf"), False
+    if fixed_iterations is not None:
+        max_iterations = fixed_iterations
     t0 = time.perf_counter()
     while it < max_iterations:
         acc = sg.scatter_sum(ranks)
@@ -253,7 +258,7 @@ def eigenvector_centrality(
         delta = float(np.abs(new - ranks).sum())
         ranks = new
         it += 1
-        if delta < tolerance:
+        if fixed_iterations is None and delta < tolerance:
             converged = True
             break
     return PageRankResult(

@@ -264,7 +264,9 @@ def msbfs_depth_waves(
                 break
             counts = np.zeros(n, dtype=np.int64)
             nz = np.flatnonzero(newbits)
-            counts[nz] = [int(x).bit_count() for x in newbits[nz]]
+            from ..stages.minhash import popcount64
+
+            counts[nz] = popcount64(newbits[nz])
             yield depth, counts
             seen |= newbits
             frontier = newbits
@@ -302,32 +304,53 @@ def closeness_table(
 # ----------------------------------------------------------------------
 # betweenness (Brandes) — per-source tasks over broadcast CSR
 # ----------------------------------------------------------------------
+def _expand_frontier(indptr, nbrs, frontier: np.ndarray):
+    """Vectorized CSR slice-gather: (src, tgt) edge pairs leaving
+    ``frontier`` — no per-vertex Python loop."""
+    starts = indptr[frontier]
+    counts = indptr[frontier + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(total, dtype=np.int64) + np.repeat(starts - offsets, counts)
+    return np.repeat(frontier, counts), nbrs[pos]
+
+
 def _brandes_source(indptr, nbrs, s: int, n: int) -> np.ndarray:
-    """Dependency accumulation for one source (Brandes 2001)."""
+    """Dependency accumulation for one source (Brandes 2001) —
+    level-synchronous: BFS frontiers, sigma scatter-adds and the
+    backward delta pass all run as whole-level numpy kernels."""
     sigma = np.zeros(n)
     sigma[s] = 1.0
     depth = np.full(n, -1, dtype=np.int64)
     depth[s] = 0
-    order = [s]
-    frontier = [s]
+    frontier = np.array([s], dtype=np.int64)
+    levels = [frontier]
     d = 0
-    while frontier:
-        nxt = []
-        for v in frontier:
-            for u in nbrs[indptr[v] : indptr[v + 1]]:
-                if depth[u] == -1:
-                    depth[u] = d + 1
-                    nxt.append(int(u))
-                    order.append(int(u))
-                if depth[u] == d + 1:
-                    sigma[u] += sigma[v]
-        frontier = nxt
+    while True:
+        src, tgt = _expand_frontier(indptr, nbrs, frontier)
+        if not len(tgt):
+            break
+        fresh = depth[tgt] == -1
+        depth[tgt[fresh]] = d + 1
+        on_level = depth[tgt] == d + 1
+        np.add.at(sigma, tgt[on_level], sigma[src[on_level]])
+        frontier = np.unique(tgt[fresh])
+        if not len(frontier):
+            break
+        levels.append(frontier)
         d += 1
     delta = np.zeros(n)
-    for v in reversed(order):
-        for u in nbrs[indptr[v] : indptr[v + 1]]:
-            if depth[u] == depth[v] + 1 and sigma[u] > 0:
-                delta[v] += sigma[v] / sigma[u] * (1.0 + delta[u])
+    for lvl in reversed(levels):
+        src, tgt = _expand_frontier(indptr, nbrs, lvl)
+        if not len(tgt):
+            continue
+        down = depth[tgt] == depth[src] + 1
+        src, tgt = src[down], tgt[down]
+        ok = sigma[tgt] > 0
+        np.add.at(delta, src[ok], sigma[src[ok]] / sigma[tgt[ok]] * (1.0 + delta[tgt[ok]]))
     delta[s] = 0.0
     return delta
 

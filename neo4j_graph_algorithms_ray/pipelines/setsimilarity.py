@@ -1,0 +1,155 @@
+"""Categorical-set similarity procedures (reference:
+``algo.similarity.jaccard`` / ``algo.similarity.overlap``,
+``algo/.../similarity/JaccardProc.java`` / ``OverlapProc.java``
+[later-branch §2.6]): each entity owns a SET of categorical items;
+the procedure streams per-entity top-k similar entities above a
+``similarityCutoff``.
+
+Dataflow (no all-pairs): inverted index by item — a hash repartition on
+``item`` makes each item's entity list block-complete; per block every
+item emits its co-entity pairs pre-aggregated on a packed (a, b) key;
+a second hash repartition on the pair key folds the global intersection
+counts; set sizes are a broadcast small side (O(#entities));
+top-k per entity is a final repartition on ``a`` + per-block head.
+Skew note: a hot item with bucket size B emits O(B²) pairs — cap it
+with ``max_item_entities`` (drops items shared by more than that many
+entities, the standard stop-word cut for set similarity at scale).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..state.partitioning import shuffle_width
+
+_PACK = np.uint64(1) << np.uint64(32)
+
+
+def set_similarity_topk(
+    items: "rd.Dataset",
+    *,
+    metric: str = "jaccard",  # jaccard | overlap
+    topk: int = 3,
+    cutoff: float = 0.0,
+    entity_col: str = "e",
+    item_col: str = "i",
+    max_item_entities: Optional[int] = None,
+) -> "rd.Dataset":
+    """(entity_a, entity_b, rank, similarity): for each entity, the
+    top-k most similar other entities by set jaccard/overlap, similarity
+    ≥ cutoff; ties → entity_b asc. Entity ids must be < 2^32 (packed
+    pair keys)."""
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(metric)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[entity_col, item_col]].drop_duplicates()
+        return pd.DataFrame(
+            {"e": out[entity_col].to_numpy(np.int64), "i": out[item_col].to_numpy(np.int64)}
+        )
+
+    # distinct (e, i) — block-level dedup, completed by the item shuffle
+    # (a duplicate surviving across blocks lands in the same item block
+    # and dies in the per-block np.unique below)
+    distinct = (
+        items.map_batches(dedup, batch_format="pandas")
+        .repartition(shuffle_width(), keys=["i"])
+        .materialize()  # read twice (sizes + pair fan-out) — shuffle once
+    )
+
+    def sizes_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().groupby("e", sort=False, as_index=False).size()
+        out.columns = ["e", "s"]
+        return out
+
+    sz_parts = distinct.map_batches(
+        sizes_part, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    sz = sz_parts.groupby("e", sort=True, as_index=False)["s"].sum()
+    size_e = sz["e"].to_numpy(np.int64)
+    size_v = sz["s"].to_numpy(np.int64)
+    sz_ref = ray.put((size_e, size_v))
+
+    def pair_counts(df: pd.DataFrame, _cap=max_item_entities) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        ii = df["i"].to_numpy(np.int64)
+        ee = df["e"].to_numpy(np.int64)
+        order = np.lexsort((ee, ii))
+        ii, ee = ii[order], ee[order]
+        bounds = np.flatnonzero(np.diff(ii)) + 1
+        bounds = np.concatenate(([0], bounds, [len(ii)]))
+        out = []
+        for gi in range(len(bounds) - 1):
+            grp = ee[bounds[gi] : bounds[gi + 1]]
+            if len(grp) < 2 or (_cap is not None and len(grp) > _cap):
+                continue
+            a, b = np.triu_indices(len(grp), 1)
+            out.append(grp[a].astype(np.uint64) * _PACK + grp[b].astype(np.uint64))
+        if not out:
+            return pd.DataFrame({"pk": pd.Series([], dtype="uint64"),
+                                 "c": pd.Series([], dtype="int64")})
+        packed = np.concatenate(out)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame({"pk": uniq, "c": cnt.astype(np.int64)})
+
+    folded = (
+        distinct.map_batches(pair_counts, batch_format="pandas", batch_size=None)
+        .repartition(shuffle_width(), keys=["pk"])
+    )
+
+    def score(df: pd.DataFrame, _metric=metric, _cut=cutoff) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "similarity": pd.Series([], dtype="float64")})
+        se, sv = ray.get(sz_ref)
+        g = df.groupby("pk", sort=False, as_index=False)["c"].sum()
+        pk = g["pk"].to_numpy(np.uint64)
+        c = g["c"].to_numpy(np.float64)
+        a = (pk // _PACK).astype(np.int64)
+        b = (pk % _PACK).astype(np.int64)
+        sa = sv[np.searchsorted(se, a)].astype(np.float64)
+        sb = sv[np.searchsorted(se, b)].astype(np.float64)
+        if _metric == "jaccard":
+            sim = c / (sa + sb - c)
+        else:
+            sim = c / np.minimum(sa, sb)
+        keep = sim >= _cut
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "similarity": sim[keep]})
+
+    pairs = folded.map_batches(score, batch_format="pandas", batch_size=None)
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
+                "b": np.concatenate([df["b"].to_numpy(np.int64), df["a"].to_numpy(np.int64)]),
+                "similarity": np.tile(df["similarity"].to_numpy(np.float64), 2),
+            }
+        )
+
+    def head_topk(df: pd.DataFrame, _k=topk) -> pd.DataFrame:
+        df = df.sort_values(
+            ["a", "similarity", "b"], ascending=[True, False, True], kind="stable"
+        )
+        df["rank"] = df.groupby("a", sort=False).cumcount() + 1
+        out = df[df["rank"] <= _k].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "entity_a": out["a"].to_numpy(np.int64),
+                "entity_b": out["b"].to_numpy(np.int64),
+                "rank": out["rank"].to_numpy(np.int64),
+                "similarity": out["similarity"].to_numpy(np.float64),
+            }
+        )
+
+    return (
+        pairs.map_batches(both_dirs, batch_format="pandas")
+        .repartition(shuffle_width(), keys=["a"])
+        .map_batches(head_topk, batch_format="pandas", batch_size=None)
+    )

@@ -16,8 +16,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
+
+from ..state.partitioning import shuffle_width
 
 
 def _to_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
@@ -27,6 +30,41 @@ def _to_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-30)
+
+
+def _select_rows(
+    embeddings: "rd.Dataset", ids: list[int], id_col: str
+) -> pd.DataFrame:
+    """Vectorized id-set row selection (pyarrow ``is_in`` per batch —
+    no per-row Python filter UDF)."""
+    idset = pa.array(sorted({int(q) for q in ids}), type=pa.int64())
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t[id_col], pa.int64()), value_set=idset))
+
+    return embeddings.map_batches(f, batch_format="pyarrow").to_pandas()
+
+
+def _stream_matrix(
+    embeddings: "rd.Dataset", id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Stream the (id, normalized-vector) matrix to the driver in
+    batches (no full-table pandas materialization), sorted by id.
+    O(n·d) driver/object-store memory — the exact-baseline envelope;
+    the >10^7-vector path is ``lsh_cosine_neardup``."""
+    ids_chunks: list[np.ndarray] = []
+    vec_chunks: list[np.ndarray] = []
+    for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
+        batch_format="pandas", batch_size=8192
+    ):
+        ids_chunks.append(b[id_col].to_numpy(np.int64))
+        vec_chunks.append(_normalize(_to_matrix(b, vec_col)))
+    if not ids_chunks:
+        return np.empty(0, np.int64), np.empty((0, 0))
+    vids = np.concatenate(ids_chunks)
+    m = np.vstack(vec_chunks)
+    order = np.argsort(vids)
+    return vids[order], m[order]
 
 
 def ann_topk(
@@ -43,11 +81,7 @@ def ann_topk(
     Deterministic ordering: sim desc, vec_id asc. ``sim`` is float64
     cosine of the float32 inputs.
     """
-    qset = set(int(q) for q in query_ids)
-    q_rows = embeddings.filter(
-        lambda r: int(r[id_col]) in qset
-    ).to_pandas()
-    q_rows = q_rows.sort_values(id_col)
+    q_rows = _select_rows(embeddings, query_ids, id_col).sort_values(id_col)
     qm = _normalize(_to_matrix(q_rows, vec_col))
     qids = q_rows[id_col].to_numpy(np.int64)
     q_ref = ray.put((qids, qm))
@@ -107,9 +141,7 @@ def metric_topk(
     (query_id, vec_id, score, rank). Euclidean ranks ascending distance;
     the rest descending similarity; ties → vec_id asc. Same blocked
     per-batch kernel + driver k-merge as ``ann_topk``."""
-    qset = set(int(q) for q in query_ids)
-    q_rows = embeddings.filter(lambda r: int(r[id_col]) in qset).to_pandas()
-    q_rows = q_rows.sort_values(id_col)
+    q_rows = _select_rows(embeddings, query_ids, id_col).sort_values(id_col)
     qm = _to_matrix(q_rows, vec_col)
     qids = q_rows[id_col].to_numpy(np.int64)
     if metric == "pearson":
@@ -184,9 +216,7 @@ def lsh_topk(
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((dim, planes))
-    qset = set(int(q) for q in query_ids)
-    q_rows = embeddings.filter(lambda r: int(r[id_col]) in qset).to_pandas()
-    q_rows = q_rows.sort_values(id_col)
+    q_rows = _select_rows(embeddings, query_ids, id_col).sort_values(id_col)
     qm = _normalize(_to_matrix(q_rows, vec_col))
     qids = q_rows[id_col].to_numpy(np.int64)
     qbuck = (qm @ H > 0) @ (1 << np.arange(planes))
@@ -198,9 +228,11 @@ def lsh_topk(
         vids = df[id_col].to_numpy(np.int64)
         vb = (m @ Hm > 0) @ (1 << np.arange(Hm.shape[1]))
         out = []
+        from ..stages.minhash import popcount64
+
         for qi in range(len(ids)):
             xor = np.bitwise_xor(vb.astype(np.int64), int(qb[qi]))
-            popcnt = np.array([bin(x).count("1") for x in xor])
+            popcnt = popcount64(xor.astype(np.uint64))
             mask = (popcnt <= probes) & (vids != ids[qi])
             idx = np.flatnonzero(mask)
             if len(idx) == 0:
@@ -236,10 +268,10 @@ def cosine_neardup(
 ) -> pd.DataFrame:
     """All pairs with cosine ≥ threshold (doc_a < doc_b): blocked matmul
     against the broadcast normalized matrix. O(n²/B) per block —
-    exact baseline; LSH bucketing is the >10^6-vector path."""
-    full = embeddings.to_pandas().sort_values(id_col)
-    m = _normalize(_to_matrix(full, vec_col))
-    vids = full[id_col].to_numpy(np.int64)
+    exact baseline; ``lsh_cosine_neardup`` is the >10^6-vector path.
+    The broadcast matrix is stream-built (batched iter_batches, no
+    full-table pandas materialization) and shipped via ray.put once."""
+    vids, m = _stream_matrix(embeddings, id_col, vec_col)
     ref = ray.put((vids, m))
 
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -264,3 +296,103 @@ def cosine_neardup(
              "sim": pd.Series([], dtype="float64")}
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def lsh_cosine_neardup(
+    embeddings: "rd.Dataset",
+    threshold: float = 0.95,
+    *,
+    tables: int = 16,
+    planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 10_000,
+) -> "rd.Dataset":
+    """LSH-bucketed cosine near-dup — the scale path for
+    ``cosine_neardup``: ``tables`` independent random-hyperplane tables
+    of ``planes`` bits bucket each vector; only same-bucket pairs score
+    (exact cosine verify), so no O(n²) sweep and no full-matrix
+    broadcast. A pair colliding in ≥1 table survives; recall vs the
+    exact kernel is 1-(1-p^planes)^tables with p = 1 - θ/π (measured in
+    tests/test_similarity_windows.py). Buckets larger than
+    ``max_bucket`` are skipped (degenerate-hash blowup guard — mirrors
+    the corpus heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
+    exact-verified, deduped across tables."""
+    first = embeddings.take(1)
+    if not first:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        )
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((tables, dim, planes))
+    h_ref = ray.put(H)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        Hm = ray.get(h_ref)
+        m = _normalize(_to_matrix(df, vec_col))
+        vids = df[id_col].to_numpy(np.int64)
+        frames = []
+        for t in range(Hm.shape[0]):
+            bits = (m @ Hm[t] > 0) @ weights
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "bucket": (np.int64(t) << np.int64(32)) | bits,
+                        "vec_id": vids,
+                        "vec": [v.astype(np.float32).tobytes() for v in m],
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(df: pd.DataFrame, _thr=threshold, _cap=max_bucket) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, grp in df.groupby("bucket", sort=False):
+            k = len(grp)
+            if k < 2 or k > _cap:
+                continue
+            vids = grp["vec_id"].to_numpy(np.int64)
+            m = np.frombuffer(b"".join(grp["vec"]), dtype=np.float32).reshape(k, -1)
+            m64 = m.astype(np.float64)
+            sims = m64 @ m64.T
+            ai, bi = np.nonzero(
+                np.triu(sims >= _thr, 1) & (vids[:, None] != vids[None, :])
+            )
+            lo = np.minimum(vids[ai], vids[bi])
+            hi = np.maximum(vids[ai], vids[bi])
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[ai, bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # same pair found by several tables — keep one (max sim; sims are
+        # equal up to fp noise since the verify is exact)
+        return df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["sim"].max()
+
+    return (
+        embeddings.map_batches(sketch, batch_format="pandas")
+        .repartition(shuffle_width(), keys=["bucket"])
+        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
+        .repartition(shuffle_width(), keys=["doc_a"])
+        .map_batches(dedup_pairs, batch_format="pandas", batch_size=None)
+    )

@@ -29,8 +29,14 @@ import ray.data as rd
 from ..state.graph import GraphTables
 
 
-def _csr(graph: GraphTables, directed: bool = True):
-    """(indptr, nbrs[, w]) over dense ids from the edge Dataset."""
+def _csr(graph: GraphTables, directed: bool = True, dedup_parallel_min: bool = False):
+    """(indptr, nbrs[, w]) over dense ids from the edge Dataset.
+
+    ``dedup_parallel_min`` collapses parallel (u, v) edges to their
+    minimum weight — required by Yen's, whose root-cost summation and
+    spur-edge banning are keyed on the (u, v) pair, not the edge
+    instance; on a multigraph the min-weight representative is the only
+    edge a shortest loopless path can use anyway."""
     chunks = []
     for b in graph.edges.iter_batches(batch_format="pyarrow", batch_size=None):
         si = b["si"].to_numpy(zero_copy_only=False)
@@ -56,6 +62,14 @@ def _csr(graph: GraphTables, directed: bool = True):
         )
     order = np.lexsort((di, si))
     si, di, w = si[order], di[order], w[order]
+    if dedup_parallel_min and len(si):
+        first = np.empty(len(si), dtype=bool)
+        first[0] = True
+        first[1:] = (si[1:] != si[:-1]) | (di[1:] != di[:-1])
+        grp = np.cumsum(first) - 1
+        wmin = np.full(int(grp[-1]) + 1, np.inf)
+        np.minimum.at(wmin, grp, w)
+        si, di, w = si[first], di[first], wmin
     indptr = np.searchsorted(si, np.arange(graph.n + 1))
     return indptr, di, w
 
@@ -110,6 +124,77 @@ def random_walks(
     return ds.map_batches(walk, batch_format="pyarrow", batch_size=1024)
 
 
+def node2vec_walks(
+    graph: GraphTables,
+    start_vids: np.ndarray,
+    steps: int = 10,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    directed: bool = False,
+) -> "rd.Dataset":
+    """node2vec p/q-biased random walks (reference [3.4+]
+    ``algo.randomWalk.stream`` node2vec mode, ``algo/.../NodeWalkerProc.java``
+    / Grover & Leskovec 2016): from step 2 on, the unnormalized
+    transition weight to neighbor x of the current vertex is
+    1/p if x == prev, 1 if x is adjacent to prev, else 1/q.
+    Same actor-fan-out shape as ``random_walks``; seeded per walk_id so
+    results are deterministic under any parallelism."""
+    csr_ref = ray.put(_csr(graph, directed=directed))
+    vids = graph.vids
+    starts = np.searchsorted(vids, np.asarray(start_vids, dtype=np.int64))
+    walk_ids = np.arange(len(starts) * walks_per_node, dtype=np.int64)
+    starts_rep = np.tile(starts, walks_per_node)
+    ds = rd.from_arrow(pa.table({"walk_id": walk_ids, "start": starts_rep}))
+    vids_ref = graph.vids_ref
+
+    def walk(batch: pa.Table, _steps=steps, _seed=seed, _p=p, _q=q) -> pa.Table:
+        indptr, nbrs, _w = ray.get(csr_ref)
+        vv = ray.get(vids_ref)
+        inv_p, inv_q = 1.0 / _p, 1.0 / _q
+        out_id, out_step, out_vid = [], [], []
+        for wid, cur in zip(
+            batch["walk_id"].to_numpy(zero_copy_only=False),
+            batch["start"].to_numpy(zero_copy_only=False),
+        ):
+            rng = np.random.default_rng(_seed * 1_000_003 + int(wid))
+            prev = -1
+            out_id.append(wid)
+            out_step.append(0)
+            out_vid.append(vv[cur])
+            for s in range(1, _steps + 1):
+                lo, hi = indptr[cur], indptr[cur + 1]
+                if hi <= lo:
+                    break
+                cand = nbrs[lo:hi]
+                if prev < 0:
+                    nxt = cand[int(rng.integers(hi - lo))]
+                else:
+                    # neighbors are di-sorted per source → membership in
+                    # prev's adjacency via one vectorized searchsorted
+                    pn = nbrs[indptr[prev] : indptr[prev + 1]]
+                    pos = np.searchsorted(pn, cand)
+                    is_adj = (pos < len(pn)) & (pn[np.minimum(pos, len(pn) - 1)] == cand)
+                    wgt = np.where(cand == prev, inv_p, np.where(is_adj, 1.0, inv_q))
+                    wgt = wgt / wgt.sum()
+                    nxt = cand[int(rng.choice(len(cand), p=wgt))]
+                prev = int(cur)
+                cur = int(nxt)
+                out_id.append(wid)
+                out_step.append(s)
+                out_vid.append(vv[cur])
+        return pa.table(
+            {
+                "walk_id": np.asarray(out_id, np.int64),
+                "step": np.asarray(out_step, np.int64),
+                "vid": np.asarray(out_vid, np.int64),
+            }
+        )
+
+    return ds.map_batches(walk, batch_format="pyarrow", batch_size=1024)
+
+
 def _dijkstra_masked(
     indptr, nbrs, w, n: int, src: int, dst: int, banned_edges: set, banned_nodes: set
 ):
@@ -150,7 +235,7 @@ def yens_k_shortest_paths(
 ) -> pd.DataFrame:
     """Rows (path_index, step, vid, cost) for up to k loopless shortest
     paths, ordered by total cost (ties → discovery order)."""
-    indptr, nbrs, w = _csr(graph, directed=directed)
+    indptr, nbrs, w = _csr(graph, directed=directed, dedup_parallel_min=True)
     vids = graph.vids
     n = graph.n
     s = int(np.searchsorted(vids, start_vid))

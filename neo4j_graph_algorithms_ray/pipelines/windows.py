@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..state.partitioning import shuffle_width
+
 
 def tumbling_window(
     events: "rd.Dataset",
@@ -40,7 +42,7 @@ def tumbling_window(
 
     return (
         events.map_batches(part, batch_format="pandas")
-        .repartition(8, keys=["user_id"])
+        .repartition(shuffle_width(), keys=["user_id"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
@@ -90,7 +92,7 @@ def hopping_window(
 
     return (
         events.map_batches(part, batch_format="pandas")
-        .repartition(8, keys=["user_id"])
+        .repartition(shuffle_width(), keys=["user_id"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
@@ -122,9 +124,12 @@ def sessionize(
                 "n_events": g.size().to_numpy(np.int64),
             }
         )
-        out["session_id"] = np.arange(len(out), dtype=np.int64)  # block-local
+        # deterministic per-user ordinal (sessions are emitted in ts
+        # order within each user, so the cumcount is stable across runs
+        # and partitionings)
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount().astype(np.int64)
         return out
 
-    return events.repartition(8, keys=[user_col]).map_batches(
+    return events.repartition(shuffle_width(), keys=[user_col]).map_batches(
         per_user, batch_format="pandas", batch_size=None
     )

@@ -36,6 +36,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..state.partitioning import shuffle_width
+
 _LANG_BY_EXT = {
     "c": "c",
     "py": "py",
@@ -248,13 +250,20 @@ def derive_repo_links(
         # the PACKED key also makes the downstream hash exchange a
         # single-int-column shuffle (measured ~4x cheaper than hashing
         # two columns at 134M rows)
-        packed = (
-            np.concatenate(out_s).astype(np.uint64) << np.uint64(32)
-        ) | np.concatenate(out_d).astype(np.uint64)
+        all_s = np.concatenate(out_s)
+        all_d = np.concatenate(out_d)
+        if len(all_d) and max(int(all_s.max()), int(all_d.max())) >= (1 << 32):
+            raise OverflowError(
+                "fold_edges: vertex ids exceed 2^32 — the packed uint64 "
+                "edge key would collide; switch to a two-column int64 key"
+            )
+        packed = (all_s.astype(np.uint64) << np.uint64(32)) | all_d.astype(
+            np.uint64
+        )
         uniq, counts = np.unique(packed, return_counts=True)
         return pd.DataFrame({"pk": uniq, "weight": counts.astype(np.float64)})
 
-    parted = links.repartition(16, keys=["key"])  # needs HASH_SHUFFLE (pkg init)
+    parted = links.repartition(shuffle_width(), keys=["key"])  # needs HASH_SHUFFLE (pkg init)
     partials = parted.map_batches(block_pairs, batch_format="pandas", batch_size=None)
 
     # final fold: hash-partition partials by (src,dst) so each edge lands
@@ -276,7 +285,7 @@ def derive_repo_links(
         )
 
     edges = (
-        partials.repartition(32, keys=["pk"])
+        partials.repartition(shuffle_width(), keys=["pk"])
         .map_batches(fold_edges, batch_format="pandas", batch_size=None)
         .materialize()
     )
@@ -294,7 +303,11 @@ def derive_repo_links(
 
 def verify_sha_invariant(corpus: "rd.Dataset", files: "rd.Dataset") -> dict:
     """Recompute sha256 over the input corpus and compare against the
-    derived files table row-by-row (north-rule per-row invariant)."""
+    derived files table row-by-row (north-rule per-row invariant) —
+    DISTRIBUTED: both sides map to (key=(repo,path) hash, sha) rows,
+    union + hash-repartition on the key so each file's two rows land in
+    one block, per-block match-count fold; the driver only sums scalar
+    per-block counters (never materializes either table)."""
 
     def recompute(batch: pa.Table) -> pa.Table:
         sha = [
@@ -302,11 +315,46 @@ def verify_sha_invariant(corpus: "rd.Dataset", files: "rd.Dataset") -> dict:
             for c in batch["content"].to_pylist()
         ]
         return pa.table(
-            {"repo": batch["repo"], "path": batch["path"], "sha2": pa.array(sha)}
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "sha": pa.array(sha),
+                "side": pa.array(np.zeros(len(sha), dtype=np.int8)),
+            }
         )
 
-    lhs = corpus.map_batches(recompute, batch_format="pyarrow").to_pandas()
-    rhs = files.to_pandas()
-    merged = lhs.merge(rhs, on=["repo", "path"], how="outer", indicator=True)
-    ok = int(((merged["_merge"] == "both") & (merged["sha"] == merged["sha2"])).sum())
-    return {"rows": int(len(rhs)), "sha_ok": ok, "corpus_rows": int(len(lhs))}
+    def tag_files(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "sha": batch["sha"],
+                "side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    lhs = corpus.map_batches(recompute, batch_format="pyarrow")
+    rhs = files.map_batches(tag_files, batch_format="pyarrow")
+
+    def count_matches(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["repo", "path"], sort=False)
+        sides = g["side"].nunique()
+        shas = g["sha"].nunique()
+        n_files = int((df["side"] == 1).sum())
+        n_corpus = int((df["side"] == 0).sum())
+        ok = int(((sides == 2) & (shas == 1)).sum())
+        return pd.DataFrame(
+            {"rows": [n_files], "sha_ok": [ok], "corpus_rows": [n_corpus]}
+        )
+
+    folded = (
+        lhs.union(rhs)
+        .repartition(shuffle_width(), keys=["repo", "path"])
+        .map_batches(count_matches, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "rows": int(folded["rows"].sum()),
+        "sha_ok": int(folded["sha_ok"].sum()),
+        "corpus_rows": int(folded["corpus_rows"].sum()),
+    }

@@ -34,6 +34,7 @@ import ray
 import ray.data as rd
 
 from ..state.graph import GraphTables
+from ..state.partitioning import shuffle_width
 
 _CACHE: dict = {}
 
@@ -49,6 +50,8 @@ def _distinct_pairs(ds: "rd.Dataset", src: str = "src", dst: str = "dst") -> pa.
     def part(batch: pa.Table) -> pa.Table:
         s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
         d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and max(int(s.max()), int(d.max())) >= int(SHIFT):
+            raise OverflowError("packed pair key needs ids < 2^21")
         return pa.table({"key": np.unique(s * SHIFT + d)})
 
     chunks = [
@@ -151,7 +154,7 @@ def co_supplier_edges(sf_dir: str) -> pa.Table:
         return df2.drop_duplicates()
 
     # hash-partition by customer so each customer's supplier set is complete
-    pair_ds = bip.repartition(8, keys=["src"]).map_batches(
+    pair_ds = bip.repartition(shuffle_width(), keys=["src"]).map_batches(
         pairs, batch_format="pandas", batch_size=None
     )
     t = _distinct_pairs(pair_ds, "u", "v")

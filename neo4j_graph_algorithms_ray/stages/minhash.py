@@ -63,6 +63,24 @@ def lsh_bands(sig: np.ndarray, bands: int = 8) -> np.ndarray:
     return out
 
 
+_MIX = np.uint64(0xFF51AFD7ED558CCD)  # splitmix64 finalizer multiplier
+
+
+def lsh_band_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """Vectorized band hashes for a (n_docs, num_perm) signature matrix:
+    per band, a splitmix-style fold of its signature rows — one numpy
+    pass over the whole batch instead of n·bands blake2 calls."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
+    h = np.full((n, bands), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for r in range(rows):
+        v = chunks[:, :, r]
+        h = (h ^ v) * _MIX
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def signature_jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
     return float((s1 == s2).mean())
 
@@ -86,10 +104,17 @@ def simhash64(texts: pd.Series) -> np.ndarray:
     return texts.map(sh).to_numpy(np.int64)
 
 
+# byte-wise popcount lookup (numpy<2 has no np.bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized per-element popcount of a uint64 array."""
+    x = np.ascontiguousarray(x.astype(np.uint64, copy=False))
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = (a ^ b).astype(np.uint64)
-    cnt = np.zeros(len(x), dtype=np.int64)
-    while x.any():
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    return popcount64(a.astype(np.uint64) ^ b.astype(np.uint64))

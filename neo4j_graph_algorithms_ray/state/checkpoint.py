@@ -123,12 +123,30 @@ def latest_complete(cfg: CheckpointConfig) -> Optional[int]:
     return best
 
 
-def load_iteration(cfg: CheckpointConfig, iteration: int) -> tuple[np.ndarray, dict[str, np.ndarray], dict]:
+def load_iteration(
+    cfg: CheckpointConfig,
+    iteration: int,
+    expect_vids: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, dict[str, np.ndarray], dict]:
+    """Load a checkpointed iteration; if ``expect_vids`` is given, refuse
+    checkpoints whose vertex set differs from the resuming graph (guards
+    against a checkpoint dir shared by runs over different inputs —
+    GraphTables tokens are per-process uuids, so identity is checked on
+    the deterministic vid array itself)."""
     d = _iter_dir(cfg.dir, iteration)
     tbl = pq.read_table(os.path.join(d, "state.parquet"))
     with open(os.path.join(d, "lineage.json")) as f:
         lineage = json.load(f)
     vids = tbl["vid"].to_numpy(zero_copy_only=False)
+    if expect_vids is not None and (
+        len(vids) != len(expect_vids) or not np.array_equal(vids, expect_vids)
+    ):
+        raise IOError(
+            f"checkpoint lineage mismatch: iter={iteration} holds "
+            f"{len(vids)} vids that differ from the resuming graph's "
+            f"{len(expect_vids)} — refusing to adopt state from a "
+            "different input"
+        )
     vectors = {
         name: tbl[name].to_numpy(zero_copy_only=False) for name in lineage["vectors"]
     }

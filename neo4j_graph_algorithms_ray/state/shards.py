@@ -315,6 +315,13 @@ class _EdgeShard:
         """Contract this shard's edges by community: pre-aggregated
         (packed(lo,hi), weight) with lo/hi = canonical community pair
         (self-loops kept — internal weight)."""
+        if len(comm) and int(comm.max()) >= (1 << 32):
+            # the (lo<<32)|hi packing is only valid for labels < 2^32;
+            # beyond that the caller must switch to a two-column int64 key
+            raise OverflowError(
+                "contract_edges: community labels exceed 2^32 — packed "
+                "uint64 keys would collide"
+            )
         cs = comm[self.si].astype(np.uint64)
         cd = comm[self.di].astype(np.uint64)
         lo = np.minimum(cs, cd)

@@ -1,0 +1,180 @@
+"""Round-2 additions: bucketed triangles, node2vec walks, set
+similarity, LSH embedding near-dup, SCC trim, checkpoint lineage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+
+def _random_graph(seed: int, n: int = 300, m: int = 2000) -> GraphTables:
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    return GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
+
+
+def test_bucketed_triangles_match_dense():
+    from neo4j_graph_algorithms_ray.pipelines.triangles import (
+        triangle_count,
+        triangle_count_bucketed,
+    )
+
+    g = _random_graph(7)
+    dense = triangle_count(g, kernel="dense")
+    bucketed = triangle_count_bucketed(g)
+    np.testing.assert_array_equal(dense.triangles, bucketed.triangles)
+    assert dense.triangle_count == bucketed.triangle_count
+    np.testing.assert_allclose(dense.coefficients, bucketed.coefficients)
+
+
+def test_node2vec_walks_seeded_and_biased():
+    from neo4j_graph_algorithms_ray.pipelines.walks import node2vec_walks
+
+    # path graph 0-1-2-...-9: with q >> 1 (strong return/BFS bias) the
+    # walk should revisit prev far more often than with q << 1
+    n = 10
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
+    starts = np.array([4])
+
+    def backtracks(p, q):
+        t = (
+            node2vec_walks(g, starts, steps=40, p=p, q=q, seed=11, directed=False)
+            .to_pandas()
+            .sort_values("step")
+        )
+        v = t["vid"].to_numpy()
+        return int((v[2:] == v[:-2]).sum())
+
+    # determinism
+    a = node2vec_walks(g, starts, steps=10, p=0.5, q=2.0, seed=3).to_pandas()
+    b = node2vec_walks(g, starts, steps=10, p=0.5, q=2.0, seed=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["walk_id", "step"]).reset_index(drop=True),
+        b.sort_values(["walk_id", "step"]).reset_index(drop=True),
+    )
+    # all steps traverse real edges
+    vv = a.sort_values("step")["vid"].to_numpy()
+    assert (np.abs(np.diff(vv)) == 1).all()
+    # low p (return-prone) backtracks more than high p
+    assert backtracks(0.1, 1.0) > backtracks(10.0, 1.0)
+
+
+def test_set_similarity_topk_matches_bruteforce():
+    from neo4j_graph_algorithms_ray.pipelines.setsimilarity import (
+        set_similarity_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n_e, n_i, rows = 40, 15, 600
+    e = rng.integers(0, n_e, rows)
+    i = rng.integers(0, n_i, rows)
+    items = rd.from_arrow(pa.table({"e": e, "i": i}))
+    out = set_similarity_topk(items, metric="jaccard", topk=2, cutoff=0.3).to_pandas()
+
+    sets = {}
+    for a, b in zip(e, i):
+        sets.setdefault(int(a), set()).add(int(b))
+    expect_rows = []
+    for a in sorted(sets):
+        sims = []
+        for b in sorted(sets):
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            sim = inter / uni if uni else 0.0
+            if sim >= 0.3:
+                sims.append((-sim, b))
+        sims.sort()
+        for rank, (negsim, b) in enumerate(sims[:2], start=1):
+            expect_rows.append((a, b, rank, -negsim))
+    expect = pd.DataFrame(
+        expect_rows, columns=["entity_a", "entity_b", "rank", "similarity"]
+    )
+    got = out.sort_values(["entity_a", "rank"]).reset_index(drop=True)
+    expect = expect.sort_values(["entity_a", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"entity_a": "int64", "entity_b": "int64", "rank": "int64"}),
+        expect.astype({"entity_a": "int64", "entity_b": "int64", "rank": "int64"}),
+    )
+
+
+def test_lsh_cosine_neardup_recall():
+    from neo4j_graph_algorithms_ray.pipelines.similarity import (
+        cosine_neardup,
+        lsh_cosine_neardup,
+    )
+
+    rng = np.random.default_rng(0)
+    # 40 clusters of near-identical vectors + noise singletons
+    dim, reps = 32, 4
+    centers = rng.standard_normal((40, dim))
+    vecs = []
+    for c in centers:
+        for _ in range(reps):
+            vecs.append(c + 0.01 * rng.standard_normal(dim))
+    vecs.extend(rng.standard_normal((80, dim)))
+    m = np.array(vecs, dtype=np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(len(m), dtype=np.int64),
+                "embedding": list(m),
+            }
+        )
+    )
+    exact = cosine_neardup(emb, threshold=0.9)
+    approx = lsh_cosine_neardup(emb, threshold=0.9).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    approx_pairs = set(zip(approx["doc_a"], approx["doc_b"]))
+    assert exact_pairs, "fixture must contain near-dup pairs"
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.95
+    # no false positives: every reported pair is exact-verified
+    assert approx_pairs <= exact_pairs
+
+
+def test_scc_trim_preserves_results():
+    from neo4j_graph_algorithms_ray.pipelines.components import (
+        scc,
+        scc_numpy_oracle,
+    )
+
+    rng = np.random.default_rng(13)
+    n, m = 120, 300  # sparse & DAG-ish: most vertices trim away
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
+    si = np.searchsorted(g.vids, src)
+    di = np.searchsorted(g.vids, dst)
+    expect = g.vids[scc_numpy_oracle(si, di, g.n)]
+    got_trim = scc(g, trim=True)
+    got_plain = scc(g, trim=False)
+    np.testing.assert_array_equal(got_trim.components, expect)
+    np.testing.assert_array_equal(got_plain.components, expect)
+
+
+def test_checkpoint_rejects_foreign_lineage(tmp_path):
+    from neo4j_graph_algorithms_ray.state.checkpoint import (
+        CheckpointConfig,
+        load_iteration,
+        save_iteration,
+    )
+
+    cfg = CheckpointConfig(dir=str(tmp_path))
+    vids = np.arange(10, dtype=np.int64)
+    save_iteration(cfg, 1, vids, {"rank": np.ones(10)}, {}, input_token="t")
+    # same graph resumes fine
+    _, vectors, _ = load_iteration(cfg, 1, expect_vids=vids)
+    assert np.allclose(vectors["rank"], 1.0)
+    # a different vertex set is refused
+    with pytest.raises(IOError):
+        load_iteration(cfg, 1, expect_vids=np.arange(11, dtype=np.int64))
+    with pytest.raises(IOError):
+        load_iteration(cfg, 1, expect_vids=vids + 5)
