@@ -186,6 +186,30 @@ def _wcc_actor(
         labels = new
 
 
+def _wcc_range(graph: GraphTables) -> tuple[np.ndarray, int]:
+    """Range-sharded WCC (the >10^8-vertex multi-node path): label
+    slices live in range-owner actors; per round the min-candidate
+    partials flow edge-shard → owner through the object store and the
+    driver folds only the per-range changed COUNTS (O(R) ints). Plain
+    monotone min propagation — pointer jumping needs random access to
+    the whole label vector, so convergence takes O(diameter) rounds
+    instead of O(log n); the fixpoint (min member id per component) is
+    identical."""
+    from ..state.shards import RangeEngine
+
+    sg = graph.sharded()
+    eng = RangeEngine(sg)
+    eng.set_vector(arr=np.arange(graph.n, dtype=np.int64))
+    rounds = 0
+    while True:
+        changed = eng.min_round()
+        rounds += 1
+        if changed == 0:
+            break
+    labels = eng.collect().astype(np.int64)
+    return labels, rounds
+
+
 def wcc(
     graph: GraphTables,
     *,
@@ -197,6 +221,18 @@ def wcc(
 ) -> ComponentsResult:
     t0 = time.perf_counter()
     n = graph.n
+    if engine == "range":
+        if threshold is not None:
+            raise ValueError("range engine does not support threshold yet")
+        labels, rounds = _wcc_range(graph)
+        vids = graph.vids
+        return ComponentsResult(
+            labels=labels,
+            components=vids[labels] if n else np.empty(0, dtype=np.int64),
+            set_count=int(len(np.unique(labels))) if n else 0,
+            rounds=rounds,
+            metrics={"seconds": time.perf_counter() - t0, "engine": "range"},
+        )
     use_actor = threshold is None and (
         engine == "actor" or (engine == "auto" and graph.m >= 50_000)
     )

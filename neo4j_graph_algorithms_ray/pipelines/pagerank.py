@@ -61,8 +61,11 @@ class PageRankConfig:
     # (state.shards — per-partition CSR in long-lived actors, the north
     # star's actor-pool path; ~10 ms fixed cost per round);
     # "dataflow": per-round map_batches + combine (fresh streaming
-    # execution per round); "auto": actor for materialized graphs above
-    # a small size floor, else dataflow.
+    # execution per round); "range": range-sharded per-vertex vectors
+    # owned by actors — partials flow shard→owner through the object
+    # store, driver folds only scalar deltas (the >10^8-vertex
+    # multi-node path; see state.shards.RangeEngine); "auto": actor for
+    # materialized graphs above a small size floor, else dataflow.
     engine: str = "auto"
     checkpoint: Optional[CheckpointConfig] = None
 
@@ -99,7 +102,88 @@ def _use_actor_engine(graph: GraphTables, engine: str) -> bool:
     return graph.m >= 50_000  # "auto": round-trip cost amortized
 
 
+def _pagerank_range(graph: GraphTables, config: PageRankConfig) -> PageRankResult:
+    """Range-sharded PageRank: per-vertex state lives in range-owner
+    actors; per round the driver routes ObjectRefs and folds R scalar
+    deltas — O(S·R) refs + O(R) floats of driver ingress instead of the
+    O(S·n) partial fold of the "actor" engine. Bit-identical to the
+    actor engine (same chunked-reduceat kernel, same fold order); the
+    full vector is gathered only for checkpoints and the final result."""
+    from ..state.shards import RangeEngine
+
+    n = graph.n
+    d = config.damping
+    alpha = 1.0 - d
+    sg = graph.sharded()
+    eng = RangeEngine(sg)
+    deg = sg.degree("out", weighted=config.weighted)
+    with np.errstate(divide="ignore"):
+        invdeg = np.where(deg > 0, 1.0 / deg, 0.0)
+    eng.set_multiplier(invdeg)
+
+    start_iter = 0
+    ckpt = config.checkpoint
+    if ckpt is not None and ckpt.resume:
+        k = latest_complete(ckpt)
+        if k is not None:
+            _, vectors, _ = load_iteration(ckpt, k, expect_vids=graph.vids)
+            eng.set_vector(arr=vectors["rank"])
+            start_iter = k
+        else:
+            eng.set_vector(value=alpha)
+    else:
+        eng.set_vector(value=alpha)
+
+    max_iters = (
+        config.fixed_iterations
+        if config.fixed_iterations is not None
+        else config.max_iterations
+    )
+    delta = float("inf")
+    converged = False
+    metrics: dict = {
+        "iteration_seconds": [],
+        "edges": graph.m,
+        "engine": "range",
+        "num_ranges": eng.num_ranges,
+    }
+    t_all = time.perf_counter()
+    it = start_iter
+    while it < max_iters:
+        t0 = time.perf_counter()
+        delta = eng.pagerank_round(alpha, d, config.weighted)
+        it += 1
+        dt = time.perf_counter() - t0
+        metrics["iteration_seconds"].append(dt)
+        if ckpt is not None and it % ckpt.every == 0:
+            ranks_now = eng.collect()
+            save_iteration(
+                ckpt, it, graph.vids, {"rank": ranks_now},
+                {"iteration": it, "delta": delta, "seconds": dt},
+                input_token=graph.token,
+            )
+        if config.fixed_iterations is None and delta < config.tolerance:
+            converged = True
+            break
+    ranks = eng.collect()
+    total = time.perf_counter() - t_all
+    iters_run = it - start_iter
+    metrics.update(
+        {
+            "total_seconds": total,
+            "iterations": it,
+            "edges_per_sec": iters_run * graph.m / total if total > 0 else None,
+            "delta": delta,
+        }
+    )
+    return PageRankResult(
+        ranks=ranks, iterations=it, converged=converged, delta=delta, metrics=metrics
+    )
+
+
 def pagerank(graph: GraphTables, config: PageRankConfig = PageRankConfig()) -> PageRankResult:
+    if config.engine == "range":
+        return _pagerank_range(graph, config)
     n = graph.n
     d = config.damping
     alpha = 1.0 - d

@@ -50,3 +50,52 @@ def remove(name: str) -> bool:
 
 def list_graphs() -> list[dict]:
     return [info(n) for n in sorted(_CATALOG)]
+
+
+# ----------------------------------------------------------------------
+# utility procedures (reference: ``algo.version`` / ``algo.list`` /
+# ``algo.asNode`` — ``algo/.../ListProc.java`` / ``VersionProc.java``)
+# ----------------------------------------------------------------------
+ENGINE_VERSION = "2.0.0"  # engine release, bumped per round
+
+
+def version() -> str:
+    """``algo.version()`` analog: the engine version string."""
+    return ENGINE_VERSION
+
+
+def list_procedures(filter_prefix: str = "") -> list[dict]:
+    """``algo.list`` analog: every registered pipeline/procedure with
+    its module path, discovered from the pipelines package."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    import neo4j_graph_algorithms_ray.pipelines as pp
+
+    out = []
+    for m in pkgutil.iter_modules(pp.__path__):
+        mod = importlib.import_module(f"{pp.__name__}.{m.name}")
+        for fname, fn in inspect.getmembers(mod, inspect.isfunction):
+            if fname.startswith("_") or fn.__module__ != mod.__name__:
+                continue
+            name = f"{m.name}.{fname}"
+            if filter_prefix and not name.startswith(filter_prefix):
+                continue
+            out.append(
+                {
+                    "name": name,
+                    "signature": str(inspect.signature(fn)),
+                    "description": (inspect.getdoc(fn) or "").split("\n")[0],
+                }
+            )
+    return sorted(out, key=lambda r: r["name"])
+
+
+def as_node(graph: GraphTables, dense_id: int) -> dict:
+    """``algo.asNode`` analog: resolve a dense vertex index back to the
+    original vertex id (the engine's node identity)."""
+    vids = graph.vids
+    if not 0 <= dense_id < len(vids):
+        raise KeyError(f"dense id {dense_id} out of range [0, {len(vids)})")
+    return {"dense_id": int(dense_id), "vid": int(vids[dense_id])}

@@ -203,6 +203,51 @@ class _EdgeShard:
         sums = np.bincount(self.d_inv, weights=contrib, minlength=len(self.d_uniq))
         return self.d_uniq, sums
 
+    def scatter_split(self, cuts, weighted: bool, *slices):
+        """Range-engine round: the premultiplied vector arrives as
+        per-range SLICES (plasma objects produced by the range owners —
+        the driver only routed their ObjectRefs), and the pre-aggregated
+        dense scatter is returned SPLIT at ``cuts`` — invoke with
+        ``.options(num_returns=len(cuts)-1)`` so every piece is its own
+        plasma object that flows straight to its owning range actor."""
+        vec = np.concatenate(slices) if len(slices) > 1 else slices[0]
+        dense_n = int(cuts[-1])
+
+        def run(chunks):
+            out = np.zeros(dense_n, dtype=np.float64)
+            for lo, hi, starts, uniq in chunks:
+                contrib = vec[self.si_d[lo:hi]]
+                if weighted and self.w_d is not None:
+                    contrib = contrib * self.w_d[lo:hi]
+                out[uniq] += np.add.reduceat(contrib, starts)
+            return out
+
+        T = self.threads
+        if T > 1 and len(self._chunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(T) as ex:
+                outs = list(ex.map(run, [self._chunks[i::T] for i in range(T)]))
+            dense = np.sum(outs, axis=0)
+        else:
+            dense = run(self._chunks)
+        pieces = [dense[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
+    def min_split(self, cuts, *slices):
+        """Range-engine WCC round: label vector arrives as slices,
+        per-destination min-label candidates return split at ``cuts``
+        (missing vertices carry the int64 max sentinel)."""
+        labels = np.concatenate(slices) if len(slices) > 1 else slices[0]
+        dense_n = int(cuts[-1])
+        out = np.full(dense_n, np.iinfo(np.int64).max, dtype=np.int64)
+        # undirected min propagation: both directions in one pass
+        for a, b in ((self.si, self.di), (self.di, self.si)):
+            lab = labels[a.astype(np.int64)]
+            np.minimum.at(out, b.astype(np.int64), lab)
+        pieces = [out[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
     # ------------------------------------------------------------------
     # WCC: per-shard local CC once → star edges; min round over them
     # ------------------------------------------------------------------
@@ -670,3 +715,136 @@ class ShardedGraph:
         out = labels.copy()
         out[t_o[keep]] = l_o[keep]
         return out
+
+
+# ----------------------------------------------------------------------
+# Range-sharded per-vertex vectors — the multi-node ceiling upgrade
+# ----------------------------------------------------------------------
+class _RangeOwner:
+    """Owns one contiguous vertex range [lo, hi) of the per-vertex state
+    vector. Per round it emits its (premultiplied) slice into plasma and
+    folds the per-shard partial PIECES addressed to it — partials flow
+    edge-shard → range-owner through the object store without ever
+    landing on the driver; the driver only routes ObjectRefs (O(S·R)
+    refs/round) and folds scalar convergence metrics (O(R))."""
+
+    def __init__(self, lo: int, hi: int):
+        self.lo = int(lo)
+        self.hi = int(hi)
+        self.vec: Optional[np.ndarray] = None
+        self.mul: Optional[np.ndarray] = None
+
+    def init_vec(self, value: float) -> bool:
+        self.vec = np.full(self.hi - self.lo, value, dtype=np.float64)
+        return True
+
+    def set_vec(self, arr: np.ndarray) -> bool:
+        self.vec = np.asarray(arr).copy()
+        return True
+
+    def set_mul(self, mul_slice: np.ndarray) -> bool:
+        self.mul = np.asarray(mul_slice)
+        return True
+
+    def premult(self) -> np.ndarray:
+        return self.vec * self.mul if self.mul is not None else self.vec.copy()
+
+    def pagerank_update(self, alpha: float, d: float, *pieces) -> float:
+        acc = (
+            np.sum(np.stack(pieces), axis=0)
+            if len(pieces) > 1
+            else np.asarray(pieces[0], dtype=np.float64)
+        )
+        new = alpha + d * acc
+        delta = float(np.abs(new - self.vec).sum())
+        self.vec = new
+        return delta
+
+    def min_update(self, *pieces) -> int:
+        cand = np.minimum.reduce(np.stack(pieces)) if len(pieces) > 1 else pieces[0]
+        new = np.minimum(self.vec, cand)
+        changed = int((new != self.vec).sum())
+        self.vec = new
+        return changed
+
+    def get_vec(self) -> np.ndarray:
+        return self.vec
+
+
+class RangeEngine:
+    """Round protocol over range owners + edge shards (see _RangeOwner).
+    Vertex state never concentrates: each owner holds O(n/R), each edge
+    shard materializes the O(n) premultiplied vector transiently from
+    the owners' plasma slices (the same working-set envelope the shard
+    already needs for its gathers)."""
+
+    def __init__(self, sharded: "ShardedGraph", num_ranges: Optional[int] = None):
+        self.sg = sharded
+        R = num_ranges or max(1, min(len(sharded.actors), max(1, sharded.n // 4096)))
+        self.cuts = np.linspace(0, sharded.n, R + 1).astype(np.int64)
+        Owner = ray.remote(_RangeOwner)
+        self.owners = [
+            Owner.remote(self.cuts[r], self.cuts[r + 1]) for r in range(R)
+        ]
+
+    @property
+    def num_ranges(self) -> int:
+        return len(self.owners)
+
+    def set_vector(self, value: Optional[float] = None, arr: Optional[np.ndarray] = None):
+        if arr is not None:
+            futs = [
+                o.set_vec.remote(arr[self.cuts[r] : self.cuts[r + 1]])
+                for r, o in enumerate(self.owners)
+            ]
+        else:
+            futs = [o.init_vec.remote(value) for o in self.owners]
+        ray.get(futs)
+
+    def set_multiplier(self, mul: np.ndarray):
+        ray.get(
+            [
+                o.set_mul.remote(mul[self.cuts[r] : self.cuts[r + 1]])
+                for r, o in enumerate(self.owners)
+            ]
+        )
+
+    def _round_refs(self, method: str, weighted: bool):
+        """One scatter round: returns piece_refs[s][r] without fetching."""
+        R = self.num_ranges
+        slice_refs = [o.premult.remote() for o in self.owners]
+        piece_refs = []
+        for a in self.sg.actors:
+            if method == "scatter":
+                fut = a.scatter_split.options(num_returns=R).remote(
+                    self.cuts, weighted, *slice_refs
+                )
+            else:
+                fut = a.min_split.options(num_returns=R).remote(
+                    self.cuts, *slice_refs
+                )
+            piece_refs.append(fut if R > 1 else [fut])
+        return piece_refs
+
+    def pagerank_round(self, alpha: float, d: float, weighted: bool) -> float:
+        piece_refs = self._round_refs("scatter", weighted)
+        delta_futs = [
+            o.pagerank_update.remote(
+                alpha, d, *[piece_refs[s][r] for s in range(len(piece_refs))]
+            )
+            for r, o in enumerate(self.owners)
+        ]
+        return float(sum(ray.get(delta_futs)))
+
+    def min_round(self) -> int:
+        piece_refs = self._round_refs("min", weighted=False)
+        futs = [
+            o.min_update.remote(*[piece_refs[s][r] for s in range(len(piece_refs))])
+            for r, o in enumerate(self.owners)
+        ]
+        return int(sum(ray.get(futs)))
+
+    def collect(self) -> np.ndarray:
+        """Gather the full vector (O(n)) — final result / checkpoints only."""
+        parts = ray.get([o.get_vec.remote() for o in self.owners])
+        return np.concatenate(parts) if parts else np.empty(0, dtype=np.float64)

@@ -178,3 +178,67 @@ def test_checkpoint_rejects_foreign_lineage(tmp_path):
         load_iteration(cfg, 1, expect_vids=np.arange(11, dtype=np.int64))
     with pytest.raises(IOError):
         load_iteration(cfg, 1, expect_vids=vids + 5)
+
+
+def test_range_engine_matches_actor_engine():
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        pagerank,
+    )
+    from neo4j_graph_algorithms_ray.state.shards import RangeEngine
+
+    rng = np.random.default_rng(1)
+    n, m = 3000, 30000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m) + 0.1
+    g = GraphTables.from_arrays(src, dst, weight=w, extra_vids=np.arange(n))
+
+    # engine="range" end to end (unweighted + weighted)
+    for weighted in (False, True):
+        ref = pagerank(
+            g, PageRankConfig(fixed_iterations=8, engine="actor", weighted=weighted)
+        ).ranks
+        got = pagerank(
+            g, PageRankConfig(fixed_iterations=8, engine="range", weighted=weighted)
+        ).ranks
+        np.testing.assert_array_equal(ref, got)  # bit-identical
+
+    # multi-range protocol exercised explicitly (R=4): partials flow
+    # shard -> owner, driver folds scalars only
+    sg = g.sharded()
+    eng = RangeEngine(sg, num_ranges=4)
+    assert eng.num_ranges == 4
+    alpha = 1.0 - 0.85
+    deg = sg.degree("out")
+    eng.set_multiplier(np.where(deg > 0, 1.0 / deg, 0.0))
+    eng.set_vector(value=alpha)
+    for _ in range(8):
+        delta = eng.pagerank_round(alpha, 0.85, False)
+    assert np.isscalar(delta)
+    ref = pagerank(g, PageRankConfig(fixed_iterations=8, engine="actor")).ranks
+    np.testing.assert_array_equal(ref, eng.collect())
+
+    # WCC fixpoint identical (plain min rounds, no pointer jumping)
+    np.testing.assert_array_equal(
+        wcc(g, engine="actor").components, wcc(g, engine="range").components
+    )
+
+
+def test_catalog_utility_procedures():
+    from neo4j_graph_algorithms_ray.state import catalog
+
+    assert catalog.version()
+    procs = catalog.list_procedures()
+    names = {p["name"] for p in procs}
+    assert "pagerank.pagerank" in names
+    assert "components.wcc" in names
+    only_pr = catalog.list_procedures("pagerank.")
+    assert only_pr and all(p["name"].startswith("pagerank.") for p in only_pr)
+
+    g = GraphTables.from_arrays(np.array([5]), np.array([9]))
+    assert catalog.as_node(g, 0) == {"dense_id": 0, "vid": 5}
+    assert catalog.as_node(g, 1) == {"dense_id": 1, "vid": 9}
+    with pytest.raises(KeyError):
+        catalog.as_node(g, 2)
