@@ -839,6 +839,74 @@ SELECT vt.vid,
 FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
 
 
+def _mst_sql(levels: int = 8) -> str:
+    """MST total weight via per-level contraction (SQL-expressible
+    because ALL minimum spanning forests share the same weight multiset:
+    #MST-edges with weight ≤ w_k equals n − C(w_k), where C(w) counts
+    components of the weight-≤-w subgraph — so total weight needs only
+    the component count per distinct weight level, each computed by a
+    min-label closure over the graph CONTRACTED by the previous level
+    (level 1 pays the only full-graph closure). ``levels`` must cover
+    the number of distinct weights (6 at sf0.01; 8 gives margin —
+    extra levels see an empty edge filter and contribute 0)."""
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         COUNT(*)::DOUBLE AS weight
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2)""",
+        """lv AS MATERIALIZED (
+  SELECT weight, ROW_NUMBER() OVER (ORDER BY weight) AS k
+  FROM (SELECT DISTINCT weight FROM edges))""",
+        # explicit outer DISTINCT: DuckDB 1.0 drops a UNION's implicit
+        # dedup when the CTE lives in a WITH RECURSIVE clause
+        """vx AS MATERIALIZED (
+  SELECT DISTINCT vid FROM (
+    SELECT src AS vid FROM edges UNION ALL SELECT dst FROM edges))""",
+        """e1 AS (
+  SELECT src, dst FROM edges
+  WHERE weight <= (SELECT weight FROM lv WHERE k = 1))""",
+        "u1 AS (SELECT src AS a, dst AS b FROM e1 UNION SELECT dst, src FROM e1)",
+        """l1 AS (
+  SELECT vid, vid AS label FROM vx
+  UNION
+  SELECT u.b, l.label FROM l1 l JOIN u1 u ON u.a = l.vid)""",
+        "c1 AS MATERIALIZED (SELECT vid, MIN(label) AS c FROM l1 GROUP BY vid)",
+    ]
+    for k in range(2, levels + 1):
+        parts.append(f"""e{k} AS (
+  SELECT DISTINCT ca.c AS src, cb.c AS dst
+  FROM edges e JOIN c{k-1} ca ON ca.vid = e.src JOIN c{k-1} cb ON cb.vid = e.dst
+  WHERE e.weight <= (SELECT weight FROM lv WHERE k = {k}) AND ca.c <> cb.c)""")
+        parts.append(
+            f"u{k} AS (SELECT src AS a, dst AS b FROM e{k} UNION SELECT dst, src FROM e{k})"
+        )
+        parts.append(f"""l{k} AS (
+  SELECT c AS vid, c AS label FROM (SELECT DISTINCT c FROM c{k-1})
+  UNION
+  SELECT u.b, l.label FROM l{k} l JOIN u{k} u ON u.a = l.vid)""")
+        parts.append(f"""c{k} AS MATERIALIZED (
+  SELECT p.vid, MIN(l.label) AS c
+  FROM c{k-1} p JOIN l{k} l ON l.vid = p.c GROUP BY p.vid)""")
+    counts = ",\n".join(
+        f"n{k} AS MATERIALIZED (SELECT COUNT(DISTINCT c) AS nc FROM c{k})"
+        for k in range(1, levels + 1)
+    )
+    terms = []
+    for k in range(1, levels + 1):
+        prev = "(SELECT COUNT(*) FROM vx)" if k == 1 else f"(SELECT nc FROM n{k-1})"
+        terms.append(
+            f"COALESCE((SELECT weight FROM lv WHERE k = {k}), 0)"
+            f" * ({prev} - (SELECT nc FROM n{k}))"
+        )
+    total = " + ".join(terms)
+    return (
+        "WITH RECURSIVE\n" + ",\n".join(parts) + ",\n" + counts +
+        f"""\nSELECT ROUND({total}, 6) AS total_weight,
+((SELECT COUNT(*) FROM vx) - (SELECT nc FROM n{levels}))::BIGINT AS forest_edges"""
+    )
+
+
 def _set_sim_sql(metric_expr: str, cutoff: float) -> str:
     return f"""WITH items AS MATERIALIZED (
   SELECT DISTINCT o_custkey AS e, l_suppkey AS i
@@ -1168,4 +1236,5 @@ SELECT doc_id, n_tokens,
 FROM c""",
         "jaccard_sets_topk": _set_sim_sql("c / (sa.s + sb.s - c)", 0.4),
         "overlap_sets_topk": _set_sim_sql("c / LEAST(sa.s, sb.s)", 0.8),
+        "mst_total_weight": _mst_sql(),
     }

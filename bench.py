@@ -51,9 +51,13 @@ _BENCH_QUERIES = [
     "infomap_modules",
     "mst_total_weight",
     "delta_stepping_sssp",
+    "betweenness_sampled",
+    "closeness_harmonic_sampled",
     "link_prediction",
     "dedup_exact",
     "minhash_lsh_groups",
+    "embedding_neardup",
+    "jaccard_sets_topk",
     "token_stats",
     "ann_topk",
     "events_tumbling_daily",

@@ -21,7 +21,6 @@ import ray
 import ray.data as rd
 
 from ..state.graph import GraphTables
-from .triangles import canonical_undirected
 
 _SCORES = (
     "common_neighbors",
@@ -107,8 +106,13 @@ def link_prediction_scores(
         pairs = pa.Table.from_pandas(pairs, preserve_index=False)
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
-    u, v = canonical_undirected(graph)
-    csr_ref = ray.put(_full_csr(u, v, graph.n))
+    # distributed canonical dedup + worker-task CSR assembly — the
+    # driver never folds the O(m) edge set (upgrade named in the module
+    # docstring; the per-pair scoring keeps the broadcast-CSR envelope)
+    from ..state.csr import build_sym_csr_ref
+    from .triangles import canonical_edges_ds
+
+    csr_ref = build_sym_csr_ref(canonical_edges_ds(graph), graph.n)
     return pairs.map_batches(
         _score_batch,
         batch_format="pyarrow",

@@ -363,22 +363,12 @@ def betweenness_table(
     seed: int = 42,
 ) -> pa.Table:
     """Exact (all sources) or RA-Brandes sampled betweenness."""
+    from ..state.csr import build_csr_ref
+
     n = graph.n
-    # build CSR on the driver once (O(m)) and broadcast
-    chunks_s, chunks_d = [], []
-    edges = graph.edges if directed else graph.edges_both()
-    for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
-        chunks_s.append(b["si"].to_numpy(zero_copy_only=False))
-        chunks_d.append(b["di"].to_numpy(zero_copy_only=False))
-    if chunks_s:
-        s_all = np.concatenate(chunks_s)
-        d_all = np.concatenate(chunks_d)
-        o = np.argsort(s_all, kind="stable")
-        s_all, d_all = s_all[o], d_all[o]
-    else:
-        s_all = d_all = np.empty(0, np.int64)
-    indptr = np.searchsorted(s_all, np.arange(n + 1))
-    csr_ref = ray.put((indptr, d_all))
+    # CSR assembled in a worker task from the edge blocks (bounded
+    # driver RSS); the plasma object is shared by every source task
+    csr_ref = build_csr_ref(graph, directed=directed)
 
     scale = 1.0
     if sources is None:

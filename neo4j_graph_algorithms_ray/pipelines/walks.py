@@ -83,7 +83,9 @@ def random_walks(
     directed: bool = False,
 ) -> "rd.Dataset":
     """(walk_id, step, vid) rows; a walk stops early at a dead end."""
-    csr_ref = ray.put(_csr(graph, directed=directed))
+    from ..state.csr import build_csr_ref
+
+    csr_ref = build_csr_ref(graph, directed=directed, weighted=True)
     vids = graph.vids
     starts = np.searchsorted(vids, np.asarray(start_vids, dtype=np.int64))
     walk_ids = np.repeat(np.arange(len(starts) * walks_per_node), 1)
@@ -141,7 +143,9 @@ def node2vec_walks(
     1/p if x == prev, 1 if x is adjacent to prev, else 1/q.
     Same actor-fan-out shape as ``random_walks``; seeded per walk_id so
     results are deterministic under any parallelism."""
-    csr_ref = ray.put(_csr(graph, directed=directed))
+    from ..state.csr import build_csr_ref
+
+    csr_ref = build_csr_ref(graph, directed=directed, weighted=True)
     vids = graph.vids
     starts = np.searchsorted(vids, np.asarray(start_vids, dtype=np.int64))
     walk_ids = np.arange(len(starts) * walks_per_node, dtype=np.int64)
