@@ -537,24 +537,31 @@ def _items_ds(sf_dir: str):
     ).map_batches(join, batch_format="pyarrow")
 
 
-def _q_jaccard_sets(sf_dir: str) -> pd.DataFrame:
+def _set_sim_frame(sf_dir: str, metric: str, cutoff: float) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.setsimilarity import set_similarity_topk
 
     t = set_similarity_topk(
-        _items_ds(sf_dir), metric="jaccard", topk=3, cutoff=0.4
+        _items_ds(sf_dir), metric=metric, topk=3, cutoff=cutoff
     ).to_pandas()
+    if "similarity" not in t.columns:  # all rows cut → schema-less empty
+        return pd.DataFrame(
+            {
+                "entity_a": pd.Series([], dtype="int64"),
+                "entity_b": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "similarity": pd.Series([], dtype="float64"),
+            }
+        )
     t["similarity"] = t["similarity"].round(6)
     return t
+
+
+def _q_jaccard_sets(sf_dir: str) -> pd.DataFrame:
+    return _set_sim_frame(sf_dir, "jaccard", 0.4)
 
 
 def _q_overlap_sets(sf_dir: str) -> pd.DataFrame:
-    from neo4j_graph_algorithms_ray.pipelines.setsimilarity import set_similarity_topk
-
-    t = set_similarity_topk(
-        _items_ds(sf_dir), metric="overlap", topk=3, cutoff=0.8
-    ).to_pandas()
-    t["similarity"] = t["similarity"].round(6)
-    return t
+    return _set_sim_frame(sf_dir, "overlap", 0.8)
 
 
 def _q_node2vec_walks(sf_dir: str) -> pd.DataFrame:

@@ -87,7 +87,30 @@ def _pairs_dataset_to_result(
         .map_batches(fold, batch_format="pandas", batch_size=None)
         .materialize()  # consumed twice: WCC projection + final collect
     )
-    if deduped.count() == 0:
+    n_pairs = deduped.count()
+    if 0 < n_pairs <= 500_000:
+        # small pair sets: a driver union-find beats spinning the WCC
+        # shard rounds (same size-gated engine choice as everywhere
+        # else; the distributed path below stays the >500k default)
+        pairs = (
+            deduped.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(pairs["doc_a"], pairs["doc_b"]):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        rows = sorted((d, find(d)) for d in parent)
+        groups = pd.DataFrame(rows, columns=["doc_id", "group_id"]).astype("int64")
+        return NearDupResult(pairs=pairs, groups=groups)
+    if n_pairs == 0:
         pairs = pd.DataFrame(
             {
                 "doc_a": pd.Series([], dtype="int64"),

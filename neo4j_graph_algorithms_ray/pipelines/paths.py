@@ -379,6 +379,12 @@ def betweenness_table(
             scale = n / max(len(sources), 1)
 
     src_ds = rd.from_arrow(pa.table({"s": sources.astype(np.int64)}))
+    # split the source list into ~4 batches per CPU so the per-source
+    # Brandes tasks actually fan out (a single-block source table would
+    # otherwise run as ONE task)
+    from ..state.partitioning import cluster_cpus
+
+    n_src = len(sources)
 
     def partial(batch: pa.Table, _csr=csr_ref, _n=n) -> pa.Table:
         ip, nb = ray.get(_csr)
@@ -388,7 +394,15 @@ def betweenness_table(
         idx = np.flatnonzero(total)
         return pa.table({"idx": idx.astype(np.int64), "val": total[idx]})
 
-    cent = scatter_combine(src_ds, partial, n, op="sum") * scale
+    cent = (
+        scatter_combine(
+            src_ds.repartition(max(1, min(n_src, 4 * cluster_cpus()))),
+            partial,
+            n,
+            op="sum",
+        )
+        * scale
+    )
     if not directed:
         cent = cent / 2.0
     return graph.to_table({"centrality": cent})
