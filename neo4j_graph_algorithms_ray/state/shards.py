@@ -93,18 +93,17 @@ class _EdgeShard:
             self.si = np.empty(0, dtype=np.int64)
             self.di = np.empty(0, dtype=np.int64)
             self.w = np.empty(0, dtype=np.float64) if weighted else None
-        # destination grouping (scatter target) built once
-        self.d_order, self.d_uniq, self.d_starts = _group_structure(self.di)
-        self.d_inv = np.searchsorted(self.d_uniq, self.di)
-        # the per-round hot loop is memory-bandwidth-bound: narrow the
-        # per-edge streams to int32 where ids fit (they do whenever
+        # the whole build (and the per-round hot loop) is
+        # memory-bandwidth-bound: narrow the per-edge streams to int32
+        # BEFORE the grouping sort where ids fit (they do whenever
         # n < 2^31 — the >2^31 case keeps int64, the reference's
         # Heavy-vs-Huge split in one line)
         if len(self.si) and max(self.si.max(), self.di.max()) < 2**31:
             self.si = self.si.astype(np.int32)
             self.di = self.di.astype(np.int32)
-        if self.d_inv.size and len(self.d_uniq) < 2**31:
-            self.d_inv = self.d_inv.astype(np.int32)
+        # destination grouping (scatter target) built once
+        self.d_order, self.d_uniq, self.d_starts = _group_structure(self.di)
+        self._d_inv = None  # lazy: only the sparse (n > DENSE_MAX_N) path
         # destination-sorted CSR layout for the chunked-reduceat scatter:
         # one sequential int32 stream per round, the contrib buffer
         # stays cache-resident per chunk, segment sums write sequential
@@ -140,16 +139,28 @@ class _EdgeShard:
             self._s_group = _group_structure(self.si)
         return self._s_group
 
+    def _dst_inv(self):
+        if self._d_inv is None:
+            inv = np.searchsorted(self.d_uniq, self.di)
+            if inv.size and len(self.d_uniq) < 2**31:
+                inv = inv.astype(np.int32)
+            self._d_inv = inv
+        return self._d_inv
+
     # ------------------------------------------------------------------
     # degrees (out/in, optionally weighted)
     # ------------------------------------------------------------------
     def degree_partial(self, direction: str, weighted: bool, dense_n: Optional[int]):
         idx = self.si if direction == "out" else self.di
-        val = (
-            self.w
-            if (weighted and self.w is not None)
-            else np.ones(len(idx), dtype=np.float64)
-        )
+        w = self.w if (weighted and self.w is not None) else None
+        if dense_n is not None:
+            # one bincount pass — no sort, no grouping build; random
+            # writes land in a dense_n-sized accumulator (cache-resident
+            # for any n the dense path admits)
+            return np.bincount(idx, weights=w, minlength=dense_n).astype(
+                np.float64, copy=False
+            )
+        val = w if w is not None else np.ones(len(idx), dtype=np.float64)
         if direction == "out":
             order, uniq, starts = self._src_group()
         else:
@@ -158,10 +169,6 @@ class _EdgeShard:
             sums = np.empty(0, dtype=np.float64)
         else:
             sums = np.add.reduceat(val[order], starts)
-        if dense_n is not None:
-            out = np.zeros(dense_n, dtype=np.float64)
-            out[uniq] = sums
-            return out
         return uniq, sums
 
     # ------------------------------------------------------------------
@@ -200,7 +207,7 @@ class _EdgeShard:
         contrib = vec[self.si]
         if weighted and self.w is not None:
             contrib = contrib * self.w
-        sums = np.bincount(self.d_inv, weights=contrib, minlength=len(self.d_uniq))
+        sums = np.bincount(self._dst_inv(), weights=contrib, minlength=len(self.d_uniq))
         return self.d_uniq, sums
 
     def scatter_split(self, cuts, weighted: bool, *slices):
@@ -242,9 +249,9 @@ class _EdgeShard:
         dense_n = int(cuts[-1])
         out = np.full(dense_n, np.iinfo(np.int64).max, dtype=np.int64)
         # undirected min propagation: both directions in one pass
+        # (int32 index streams are valid fancy indices — no astype copies)
         for a, b in ((self.si, self.di), (self.di, self.si)):
-            lab = labels[a.astype(np.int64)]
-            np.minimum.at(out, b.astype(np.int64), lab)
+            np.minimum.at(out, b, labels[a])
         pieces = [out[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
 
@@ -473,6 +480,7 @@ class ShardedGraph:
         self.actors = actors
         self.m = num_edges
         self.n = n
+        self._degree_cache: dict = {}  # (direction, weighted) → np.ndarray
 
     # Above this vertex count, per-shard partials return sparse
     # (uniq, values) pairs instead of dense length-n vectors — bounds
@@ -538,11 +546,16 @@ class ShardedGraph:
         return out
 
     def degree(self, direction: str, weighted: bool = False) -> np.ndarray:
-        futs = [
-            a.degree_partial.remote(direction, weighted, self._dense_n)
-            for a in self.actors
-        ]
-        return self._fold_sum(futs)
+        """Memoized on the pool (the graph is immutable): every kernel
+        that starts with a degree pass reuses the first computation."""
+        key = (direction, weighted)
+        if key not in self._degree_cache:
+            futs = [
+                a.degree_partial.remote(direction, weighted, self._dense_n)
+                for a in self.actors
+            ]
+            self._degree_cache[key] = self._fold_sum(futs)
+        return self._degree_cache[key]
 
     def scatter_sum(
         self, vec: np.ndarray, mul: Optional[np.ndarray] = None, weighted: bool = False
