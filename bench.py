@@ -117,7 +117,7 @@ def headline(sf: str) -> dict:
     g = GraphTables.from_dataset(
         rd.read_parquet(os.path.join(edir, "edges")),
         weight="weight",
-        extra_vids=np.load(os.path.join(edir, "vids.npy")),
+        vids=np.load(os.path.join(edir, "vids.npy")),
     )
     sg = g.sharded()  # CSR shard pool build = load phase (ref. loadMillis)
     sg.scatter_sum(np.zeros(g.n))  # warm-up round (page-cache, worker paths)

@@ -28,7 +28,7 @@ from ..stages.minhash import (
     minhash_signature,
 )
 from ..stages.text import sha256_hex
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import shuffle_width, source_size_bytes
 
 
 def dedup_exact(
@@ -53,7 +53,7 @@ def dedup_exact(
 
     return (
         docs.map_batches(add_sha, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["sha"])
+        .repartition(shuffle_width(source_size_bytes(docs)), keys=["sha"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
@@ -65,7 +65,9 @@ class NearDupResult:
 
 
 def _pairs_dataset_to_result(
-    pairs_ds: "rd.Dataset", sim_col: str = "similarity"
+    pairs_ds: "rd.Dataset",
+    sim_col: str = "similarity",
+    pairs_hint: "int | None" = None,
 ) -> NearDupResult:
     """Dedup the candidate-pair Dataset distributed (hash repartition on
     doc_a + per-block fold) and derive groups with the distributed WCC
@@ -83,7 +85,7 @@ def _pairs_dataset_to_result(
         ].max()
 
     deduped = (
-        pairs_ds.repartition(shuffle_width(), keys=["doc_a"])
+        pairs_ds.repartition(shuffle_width(pairs_hint), keys=["doc_a"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
         .materialize()  # consumed twice: WCC projection + final collect
     )
@@ -219,10 +221,10 @@ def minhash_lsh_neardup(
 
     cand = (
         docs.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["band_hash"])
+        .repartition(shuffle_width(source_size_bytes(docs)), keys=["band_hash"])
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
-    return _pairs_dataset_to_result(cand)
+    return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
 
 
 def simhash_neardup(
@@ -286,10 +288,10 @@ def simhash_neardup(
 
     cand = (
         docs.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["band_hash"])
+        .repartition(shuffle_width(source_size_bytes(docs)), keys=["band_hash"])
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     )
-    return _pairs_dataset_to_result(cand)
+    return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
 
 
 def ngram_jaccard_pairs(
@@ -340,7 +342,7 @@ def ngram_jaccard_pairs(
 
     parts = (
         docs.map_batches(shingle_rows, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["home"])
+        .repartition(shuffle_width(source_size_bytes(docs)), keys=["home"])
     )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

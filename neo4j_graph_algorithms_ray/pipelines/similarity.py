@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import shuffle_width, source_size_bytes
 
 
 def _to_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
@@ -391,8 +391,8 @@ def lsh_cosine_neardup(
 
     return (
         embeddings.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["bucket"])
+        .repartition(shuffle_width(source_size_bytes(embeddings)), keys=["bucket"])
         .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-        .repartition(shuffle_width(), keys=["doc_a"])
+        .repartition(shuffle_width(source_size_bytes(embeddings)), keys=["doc_a"])
         .map_batches(dedup_pairs, batch_format="pandas", batch_size=None)
     )

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import shuffle_width, source_size_bytes
 
 
 def tumbling_window(
@@ -42,7 +42,7 @@ def tumbling_window(
 
     return (
         events.map_batches(part, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["user_id"])
+        .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
@@ -92,7 +92,7 @@ def hopping_window(
 
     return (
         events.map_batches(part, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["user_id"])
+        .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
 
@@ -130,6 +130,8 @@ def sessionize(
         out["session_id"] = out.groupby("user_id", sort=False).cumcount().astype(np.int64)
         return out
 
-    return events.repartition(shuffle_width(), keys=[user_col]).map_batches(
+    return events.repartition(
+        shuffle_width(source_size_bytes(events)), keys=[user_col]
+    ).map_batches(
         per_user, batch_format="pandas", batch_size=None
     )

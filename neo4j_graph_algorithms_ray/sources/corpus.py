@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import shuffle_width, source_size_bytes
 
 _LANG_BY_EXT = {
     "c": "c",
@@ -349,7 +349,7 @@ def verify_sha_invariant(corpus: "rd.Dataset", files: "rd.Dataset") -> dict:
 
     folded = (
         lhs.union(rhs)
-        .repartition(shuffle_width(), keys=["repo", "path"])
+        .repartition(shuffle_width(source_size_bytes(files)), keys=["repo", "path"])
         .map_batches(count_matches, batch_format="pandas", batch_size=None)
         .to_pandas()
     )

@@ -45,13 +45,32 @@ import ray.data as rd
 from .dense import group_sum, scatter_combine
 
 
-def _densify_batch(batch: pa.Table, *, vids_ref, src: str, dst: str, weight: Optional[str]) -> pa.Table:
+def _densify_batch(
+    batch: pa.Table,
+    *,
+    vids_ref,
+    src: str,
+    dst: str,
+    weight: Optional[str],
+    check: bool = False,
+) -> pa.Table:
     vids = ray.get(vids_ref)
     s = batch[src].to_numpy(zero_copy_only=False)
     d = batch[dst].to_numpy(zero_copy_only=False)
+    si = np.searchsorted(vids, s)
+    di = np.searchsorted(vids, d)
+    if check and len(s):
+        # caller supplied the vertex set instead of discovering it —
+        # an id outside it would silently map to a neighbor's slot
+        if (
+            si.max() >= len(vids)
+            or di.max() >= len(vids)
+            or not (np.array_equal(vids[si], s) and np.array_equal(vids[di], d))
+        ):
+            raise KeyError("edge endpoint not present in the supplied vids")
     cols = {
-        "si": np.searchsorted(vids, s).astype(np.int64),
-        "di": np.searchsorted(vids, d).astype(np.int64),
+        "si": si.astype(np.int64),
+        "di": di.astype(np.int64),
     }
     if weight is not None:
         cols["w"] = batch[weight].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -106,16 +125,45 @@ class GraphTables:
         *,
         sort: bool = True,
         extra_vids: Optional[np.ndarray] = None,
+        vids: Optional[np.ndarray] = None,
     ) -> "GraphTables":
         """Project an edge Dataset (original int64 ids) into dense form.
 
         Distinct-vertex discovery streams per-block uniques to the
         driver (O(distinct) driver memory — same envelope as the dense
         vectors; the shuffle path would be ``ds.unique`` at larger
-        scale).
+        scale). Passing ``vids`` (the AUTHORITATIVE vertex set, e.g.
+        saved from a prior derivation) skips that discovery scan — one
+        full pass over the source instead of two; densify then verifies
+        membership and raises on an id outside the set.
         """
         cols = [src, dst] + ([weight] if weight else [])
         ds = ds.select_columns(cols)
+        if vids is not None:
+            vids = np.unique(np.asarray(vids, dtype=np.int64))
+            vids_ref = ray.put(vids)
+            dense = ds.map_batches(
+                _densify_batch,
+                batch_format="pyarrow",
+                batch_size=None,
+                fn_kwargs={
+                    "vids_ref": vids_ref,
+                    "src": src,
+                    "dst": dst,
+                    "weight": weight,
+                    "check": True,
+                },
+            )
+            if sort and len(vids):
+                dense = dense.sort("si")
+            dense = dense.materialize()
+            return GraphTables(
+                vids_ref=vids_ref,
+                n=int(len(vids)),
+                edges=dense,
+                m=int(dense.count()),
+                weighted=weight is not None,
+            )
         uniq_parts = ds.map_batches(
             lambda b: pa.table(
                 {

@@ -28,11 +28,47 @@ def cluster_cpus() -> int:
 def shuffle_width(
     size_bytes: int | None = None,
     *,
-    target_block_bytes: int = 128 << 20,
+    target_block_bytes: int = 64 << 20,
     min_width: int = 1,
 ) -> int:
+    """Partition count for a hash shuffle.
+
+    Without a size hint: one partition per cluster CPU (keeps every
+    core busy through the post-shuffle stage when the data is big
+    enough to matter). With a size hint: ~one partition per
+    ``target_block_bytes``, capped at 8 per CPU — so a few-MB table
+    shuffles into a handful of blocks (a 32-wide exchange on 2 MB of
+    keys is pure task/metadata overhead) while a multi-TB exchange
+    still fans out across the whole cluster. Callers whose
+    post-shuffle work is superlinear in the input (pair generation,
+    wedge joins) should NOT pass a hint sized off the input — the
+    CPU-floor default is the right width for them.
+    """
     cpus = cluster_cpus()
-    width = cpus
-    if size_bytes is not None and size_bytes > 0:
-        width = max(cpus, min(size_bytes // target_block_bytes + 1, cpus * 8))
-    return max(int(width), min_width)
+    if size_bytes is None or size_bytes <= 0:
+        return max(cpus, min_width)
+    return int(max(min_width, min(size_bytes // target_block_bytes + 1, cpus * 8)))
+
+
+def source_size_bytes(ds) -> int | None:
+    """Best-effort *input* size of a Dataset without executing its plan.
+
+    Sums the on-disk sizes of the plan's input files (metadata-only;
+    works for read-rooted plans even under lazy transforms) and scales
+    by a nominal 4x parquet-decompression factor. Returns None when the
+    plan has no file inputs (e.g. from_pandas) — callers fall back to
+    the CPU-floor shuffle width.
+    """
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            return None
+    return total * 4 if total > 0 else None

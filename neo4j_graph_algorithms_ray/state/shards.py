@@ -101,34 +101,22 @@ class _EdgeShard:
         if len(self.si) and max(self.si.max(), self.di.max()) < 2**31:
             self.si = self.si.astype(np.int32)
             self.di = self.di.astype(np.int32)
-        # destination grouping (scatter target) built once
-        self.d_order, self.d_uniq, self.d_starts = _group_structure(self.di)
+        # Everything derived from the edge streams is LAZY: an actor that
+        # only ever runs small-n scatters (chunked bincount, below) never
+        # pays the argsort/gather build — 16 actors argsorting 8M-edge
+        # shards simultaneously serialize on this box's one DRAM
+        # controller, which made the pool build the dominant load cost.
+        self._d_group = None  # lazy (order, uniq, starts) over di
+        self._d_layout = None  # lazy destination-sorted (si_d, w_d, chunks)
         self._d_inv = None  # lazy: only the sparse (n > DENSE_MAX_N) path
-        # destination-sorted CSR layout for the chunked-reduceat scatter:
-        # one sequential int32 stream per round, the contrib buffer
-        # stays cache-resident per chunk, segment sums write sequential
-        # ranges — ~2x less DRAM traffic than gather+bincount, which is
-        # what caps 32-core scaling on a shared memory controller
-        self.si_d = self.si[self.d_order]
-        self.w_d = self.w[self.d_order] if self.w is not None else None
-        # 256k-edge chunks: the 2 MB contrib buffer stays cache-resident
-        # even with one worker per core sharing the L3 (8 MB chunks
-        # measured ~33% slower at 8+ concurrent workers)
-        C = 1 << 18
-        m = len(self.si_d)
-        self._chunks = []
-        gs = self.d_starts
-        for lo in range(0, m, C):
-            hi = min(lo + C, m)
-            i0 = np.searchsorted(gs, lo, side="left")
-            i1 = np.searchsorted(gs, hi, side="left")
-            starts = (gs[i0:i1] - lo).astype(np.int64)
-            if not len(starts) or starts[0] != 0:
-                starts = np.concatenate([np.zeros(1, np.int64), starts])
-            uniq = self.di[self.d_order[lo + starts]].astype(np.int64)
-            self._chunks.append((lo, hi, starts, uniq))
         self._s_group = None  # lazy src grouping (reverse direction)
         self._star = None  # lazy local-CC star edges (WCC)
+
+    # vertices-fit-in-cache cutover: below this dense_n the scatter uses
+    # per-chunk bincount into an n-sized accumulator (no sorted layout to
+    # build); above it the destination-sorted chunked-reduceat layout
+    # wins (~2x less DRAM traffic once the accumulator spills the cache)
+    SMALL_N = 1 << 20
 
     # ------------------------------------------------------------------
     def ready(self) -> int:
@@ -139,13 +127,73 @@ class _EdgeShard:
             self._s_group = _group_structure(self.si)
         return self._s_group
 
+    def _dst_group(self):
+        if self._d_group is None:
+            self._d_group = _group_structure(self.di)
+        return self._d_group
+
+    def _dst_layout(self):
+        """Destination-sorted CSR layout for the chunked-reduceat
+        scatter: one sequential int32 stream per round, the contrib
+        buffer stays cache-resident per chunk, segment sums write
+        sequential ranges. 256k-edge chunks: the 2 MB contrib buffer
+        stays cache-resident even with one worker per core sharing the
+        L3 (8 MB chunks measured ~33% slower at 8+ concurrent
+        workers)."""
+        if self._d_layout is None:
+            d_order, _, d_starts = self._dst_group()
+            si_d = self.si[d_order]
+            w_d = self.w[d_order] if self.w is not None else None
+            C = 1 << 18
+            m = len(si_d)
+            chunks = []
+            gs = d_starts
+            for lo in range(0, m, C):
+                hi = min(lo + C, m)
+                i0 = np.searchsorted(gs, lo, side="left")
+                i1 = np.searchsorted(gs, hi, side="left")
+                starts = (gs[i0:i1] - lo).astype(np.int64)
+                if not len(starts) or starts[0] != 0:
+                    starts = np.concatenate([np.zeros(1, np.int64), starts])
+                uniq = self.di[d_order[lo + starts]].astype(np.int64)
+                chunks.append((lo, hi, starts, uniq))
+            self._d_layout = (si_d, w_d, chunks)
+        return self._d_layout
+
     def _dst_inv(self):
         if self._d_inv is None:
-            inv = np.searchsorted(self.d_uniq, self.di)
-            if inv.size and len(self.d_uniq) < 2**31:
+            d_uniq = self._dst_group()[1]
+            inv = np.searchsorted(d_uniq, self.di)
+            if inv.size and len(d_uniq) < 2**31:
                 inv = inv.astype(np.int32)
             self._d_inv = inv
         return self._d_inv
+
+    def _scatter_bincount(self, vec: np.ndarray, weighted: bool, dense_n: int):
+        """Small-n scatter: fixed 256k-edge chunks, per-chunk gather +
+        weighted bincount into a cache-resident dense_n accumulator —
+        no sorted layout, nothing built at init."""
+        C = 1 << 18
+        m = len(self.si)
+        ranges = [(lo, min(lo + C, m)) for lo in range(0, m, C)]
+
+        def run(rs):
+            out = np.zeros(dense_n, dtype=np.float64)
+            for lo, hi in rs:
+                contrib = vec[self.si[lo:hi]]
+                if weighted and self.w is not None:
+                    contrib = contrib * self.w[lo:hi]
+                out += np.bincount(self.di[lo:hi], weights=contrib, minlength=dense_n)
+            return out
+
+        T = self.threads
+        if T > 1 and len(ranges) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(T) as ex:
+                outs = list(ex.map(run, [ranges[i::T] for i in range(T)]))
+            return np.sum(outs, axis=0)
+        return run(ranges)
 
     # ------------------------------------------------------------------
     # degrees (out/in, optionally weighted)
@@ -164,7 +212,7 @@ class _EdgeShard:
         if direction == "out":
             order, uniq, starts = self._src_group()
         else:
-            order, uniq, starts = self.d_order, self.d_uniq, self.d_starts
+            order, uniq, starts = self._dst_group()
         if not len(uniq):
             sums = np.empty(0, dtype=np.float64)
         else:
@@ -184,31 +232,36 @@ class _EdgeShard:
         O(n) there vs O(m) gathers here), so the hot loop is ONE gather
         + one bincount over int32 streams."""
         if dense_n is not None:
+            if dense_n <= self.SMALL_N:
+                return self._scatter_bincount(vec, weighted, dense_n)
+            si_d, w_d, all_chunks = self._dst_layout()
+
             def run(chunks):
                 out = np.zeros(dense_n, dtype=np.float64)
                 for lo, hi, starts, uniq in chunks:
-                    contrib = vec[self.si_d[lo:hi]]
-                    if weighted and self.w_d is not None:
-                        contrib = contrib * self.w_d[lo:hi]
+                    contrib = vec[si_d[lo:hi]]
+                    if weighted and w_d is not None:
+                        contrib = contrib * w_d[lo:hi]
                     out[uniq] += np.add.reduceat(contrib, starts)
                 return out
 
             T = self.threads
-            if T > 1 and len(self._chunks) > 1:
+            if T > 1 and len(all_chunks) > 1:
                 # numpy gather/reduceat release the GIL — intra-actor
                 # threads let one actor drive several cores, cutting the
                 # per-round RPC fan-out (fewer actors, same parallelism)
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(T) as ex:
-                    outs = list(ex.map(run, [self._chunks[i::T] for i in range(T)]))
+                    outs = list(ex.map(run, [all_chunks[i::T] for i in range(T)]))
                 return np.sum(outs, axis=0)
-            return run(self._chunks)
+            return run(all_chunks)
         contrib = vec[self.si]
         if weighted and self.w is not None:
             contrib = contrib * self.w
-        sums = np.bincount(self._dst_inv(), weights=contrib, minlength=len(self.d_uniq))
-        return self.d_uniq, sums
+        d_uniq = self._dst_group()[1]
+        sums = np.bincount(self._dst_inv(), weights=contrib, minlength=len(d_uniq))
+        return d_uniq, sums
 
     def scatter_split(self, cuts, weighted: bool, *slices):
         """Range-engine round: the premultiplied vector arrives as
@@ -219,25 +272,29 @@ class _EdgeShard:
         plasma object that flows straight to its owning range actor."""
         vec = np.concatenate(slices) if len(slices) > 1 else slices[0]
         dense_n = int(cuts[-1])
-
-        def run(chunks):
-            out = np.zeros(dense_n, dtype=np.float64)
-            for lo, hi, starts, uniq in chunks:
-                contrib = vec[self.si_d[lo:hi]]
-                if weighted and self.w_d is not None:
-                    contrib = contrib * self.w_d[lo:hi]
-                out[uniq] += np.add.reduceat(contrib, starts)
-            return out
-
-        T = self.threads
-        if T > 1 and len(self._chunks) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(T) as ex:
-                outs = list(ex.map(run, [self._chunks[i::T] for i in range(T)]))
-            dense = np.sum(outs, axis=0)
+        if dense_n <= self.SMALL_N:
+            dense = self._scatter_bincount(vec, weighted, dense_n)
         else:
-            dense = run(self._chunks)
+            si_d, w_d, all_chunks = self._dst_layout()
+
+            def run(chunks):
+                out = np.zeros(dense_n, dtype=np.float64)
+                for lo, hi, starts, uniq in chunks:
+                    contrib = vec[si_d[lo:hi]]
+                    if weighted and w_d is not None:
+                        contrib = contrib * w_d[lo:hi]
+                    out[uniq] += np.add.reduceat(contrib, starts)
+                return out
+
+            T = self.threads
+            if T > 1 and len(all_chunks) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(T) as ex:
+                    outs = list(ex.map(run, [all_chunks[i::T] for i in range(T)]))
+                dense = np.sum(outs, axis=0)
+            else:
+                dense = run(all_chunks)
         pieces = [dense[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
 

@@ -107,3 +107,53 @@ def test_shard_count_independent_of_blocks(random_graph):
                 break
             ranks = new
         np.testing.assert_allclose(ranks, base, atol=1e-9)
+
+
+def test_scatter_small_n_and_layout_paths_agree(random_graph):
+    """The small-n chunked-bincount scatter and the destination-sorted
+    reduceat layout must produce identical partials (SMALL_N is a pure
+    performance cutover)."""
+    g, src, dst, w = random_graph
+    from neo4j_graph_algorithms_ray.state.shards import ShardedGraph, _EdgeShard
+
+    sg = ShardedGraph.from_graph(g, num_shards=2)
+    rng = np.random.default_rng(3)
+    vec = rng.random(g.n)
+    small = sg.scatter_sum(vec, weighted=True)
+    try:
+        _EdgeShard.SMALL_N = 0  # force the sorted-layout path
+        sg2 = ShardedGraph.from_graph(g, num_shards=2)
+        big = sg2.scatter_sum(vec, weighted=True)
+    finally:
+        _EdgeShard.SMALL_N = 1 << 20
+    np.testing.assert_allclose(small, big, rtol=1e-12, atol=1e-12)
+
+
+def test_from_dataset_authoritative_vids(random_graph):
+    """vids= skips discovery but must give an identical projection, and
+    must raise when an edge endpoint is missing from the supplied set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    g, src, dst, w = random_graph
+    vids = g.vids
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": vids[src],
+                "dst": vids[dst],
+                "weight": np.asarray(w, dtype=np.float64),
+            }
+        )
+    )
+    g2 = GraphTables.from_dataset(ds, weight="weight", vids=vids)
+    assert g2.n == g.n and g2.m == g.m
+    r1 = pagerank(g, PageRankConfig(fixed_iterations=5)).ranks
+    r2 = pagerank(g2, PageRankConfig(fixed_iterations=5)).ranks
+    # block boundaries may differ between the two projections; the
+    # shard fold order then differs by a few ulp
+    np.testing.assert_allclose(r1, r2, rtol=1e-12, atol=1e-14)
+
+    incomplete = vids[vids != vids[int(src[0])]]
+    with pytest.raises(Exception):
+        GraphTables.from_dataset(ds, weight="weight", vids=incomplete).edges.count()
