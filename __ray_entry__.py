@@ -1195,6 +1195,27 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.35""",
+        # same strided sha256-prefix window min as stages/text.py
+        # fingerprint64 (byte offsets == char offsets on this ASCII
+        # corpus, so SQL substr sees the same windows)
+        "doc_fingerprints": """WITH d AS (
+  SELECT doc_id, text, length(text) AS L FROM documents
+), short AS (
+  SELECT doc_id,
+         (('0x' || substr(sha256(text), 1, 16))::UBIGINT >> 1)::BIGINT AS fingerprint
+  FROM d WHERE L < 8
+), idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, L - 7, greatest(1, (L - 8) // 256))) AS i
+  FROM d WHERE L >= 8
+), win AS (
+  SELECT doc_id,
+         min(('0x' || substr(sha256(substr(text, i, 8)), 1, 16))::UBIGINT) AS mh
+  FROM idx GROUP BY doc_id
+)
+SELECT doc_id, fingerprint FROM short
+UNION ALL
+SELECT doc_id, (mh >> 1)::BIGINT AS fingerprint FROM win""",
         "lang_id_guess": rf"""WITH w AS (
   SELECT doc_id,
     regexp_extract_all(lower(substr(text, 1, 2000)),

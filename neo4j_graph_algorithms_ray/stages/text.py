@@ -77,20 +77,25 @@ def lang_id(texts: pd.Series) -> pd.Series:
 
 
 def fingerprint64(texts: pd.Series, ngram: int = 8) -> np.ndarray:
-    """Deterministic document fingerprint: min of rolling n-gram hashes
-    (a 1-perm minhash — stable under small shifts)."""
+    """Deterministic document fingerprint: min over strided n-gram
+    window hashes (a 1-perm minhash — stable under small shifts).
+
+    The window hash is the big-endian first-8-bytes of sha256, chosen
+    deliberately so an external SQL engine can recompute it
+    (DuckDB: ``('0x' || substr(sha256(win), 1, 16))::UBIGINT``); the
+    stride samples ≤ ~257 windows per document. Windows are byte
+    offsets into the utf-8 encoding, which coincides with character
+    offsets (and hence SQL ``substr``) for ASCII corpora.
+    """
 
     def fp(t: str) -> int:
         b = t.encode("utf-8")
         if len(b) < ngram:
-            h = hashlib.blake2b(b, digest_size=8).digest()
-            return int.from_bytes(h, "little") >> 1
+            h = hashlib.sha256(b).digest()
+            return int.from_bytes(h[:8], "big") >> 1
         best = None
-        # rolling via blake2 of each n-gram window, vectorized-ish stride
         for i in range(0, len(b) - ngram + 1, max(1, (len(b) - ngram) // 256 or 1)):
-            h = int.from_bytes(
-                hashlib.blake2b(b[i : i + ngram], digest_size=8).digest(), "little"
-            )
+            h = int.from_bytes(hashlib.sha256(b[i : i + ngram]).digest()[:8], "big")
             if best is None or h < best:
                 best = h
         return best >> 1
