@@ -106,13 +106,12 @@ def link_prediction_scores(
         pairs = pa.Table.from_pandas(pairs, preserve_index=False)
     if isinstance(pairs, pa.Table):
         pairs = rd.from_arrow(pairs)
-    # distributed canonical dedup + worker-task CSR assembly — the
-    # driver never folds the O(m) edge set (upgrade named in the module
-    # docstring; the per-pair scoring keeps the broadcast-CSR envelope)
-    from ..state.csr import build_sym_csr_ref
-    from .triangles import canonical_edges_ds
+    # worker-task CSR assembly — the driver never folds the O(m) edge
+    # set; size-gated between a single-task canonical build and the
+    # shuffle-based distributed dedup (state.csr.sym_csr_ref)
+    from ..state.csr import sym_csr_ref
 
-    csr_ref = build_sym_csr_ref(canonical_edges_ds(graph), graph.n)
+    csr_ref = sym_csr_ref(graph)
     return pairs.map_batches(
         _score_batch,
         batch_format="pyarrow",

@@ -107,3 +107,55 @@ def build_sym_csr_ref(canon_ds, n: int) -> "ray.ObjectRef":
     undirected (u, v) edge Dataset (see triangles.canonical_edges_ds)."""
     canon_ds = canon_ds.materialize()
     return _build_sym_csr.remote(n, *_block_refs(canon_ds))
+
+
+@ray.remote
+def _build_sym_csr_raw(n: int, *blocks):
+    """Canonicalize (u<v, drop loops, dedup) AND build the symmetric CSR
+    in one task, straight from raw ``si``/``di`` edge blocks."""
+    keys = []
+    for t in blocks:
+        if not t.num_rows:
+            continue
+        si = t["si"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        di = t["di"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = np.minimum(si, di)
+        v = np.maximum(si, di)
+        keep = u != v
+        keys.append(np.unique((u[keep] << np.uint64(32)) | v[keep]))
+    k = np.unique(np.concatenate(keys)) if keys else np.empty(0, np.uint64)
+    u = (k >> np.uint64(32)).astype(np.int64)
+    v = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    a = np.concatenate([u, v])
+    b = np.concatenate([v, u])
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    indptr = np.searchsorted(a, np.arange(n + 1))
+    deg = np.diff(indptr)
+    return indptr, b, deg
+
+
+# Below this many raw edges the canonical dedup runs inside the CSR
+# build task itself (one unique over ~16 B/edge of keys — comfortably
+# in a worker heap); above it, the shuffle-based canonical_edges_ds
+# path dedups distributed first. Either way the DRIVER never folds the
+# edge set.
+SYM_CSR_SINGLE_TASK_MAX_M = 64_000_000
+
+
+def sym_csr_ref(graph) -> "ray.ObjectRef":
+    """Size-gated symmetric-CSR build for a ``GraphTables`` graph.
+
+    A broadcast CSR is only viable when the graph fits one worker heap
+    anyway, so for those sizes the canonical dedup is a single remote
+    task over the raw edge blocks — a hash-repartition exchange here is
+    pure fixed overhead (~seconds of task/metadata latency on a
+    megabyte of keys). The shuffle path remains for edge sets too large
+    to unique in one task."""
+    if graph.n >= (1 << 32):  # pragma: no cover - beyond packed keys
+        raise OverflowError("sym_csr_ref packs (u,v) into uint64: n < 2^32")
+    if graph.m <= SYM_CSR_SINGLE_TASK_MAX_M:
+        return _build_sym_csr_raw.remote(graph.n, *_block_refs(graph.edges))
+    from ..pipelines.triangles import canonical_edges_ds
+
+    return build_sym_csr_ref(canonical_edges_ds(graph), graph.n)
