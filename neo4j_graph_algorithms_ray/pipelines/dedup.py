@@ -19,6 +19,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from ..stages.minhash import (
@@ -62,6 +63,66 @@ def dedup_exact(
 class NearDupResult:
     pairs: pd.DataFrame  # doc_a, doc_b, similarity estimate (O(#dups))
     groups: pd.DataFrame  # doc_id, group_id (= min doc_id of component)
+
+
+# Below this many documents the banded bucket scan runs in ONE remote
+# task over the materialized sketch blocks instead of a band_hash hash
+# repartition — two HashShuffle exchanges are multi-second fixed
+# overhead (aggregator actor spin-up) on inputs whose whole sketch
+# table fits a single worker heap (~n·bands·(24 B + sig) ≈ 1 GB at
+# this gate for 64-perm minhash).
+_SINGLE_TASK_SCAN_MAX_DOCS = 100_000
+
+
+@ray.remote
+def _scan_sketch_blocks(bucket_fn, *blocks) -> pd.DataFrame:
+    dfs = []
+    for b in blocks:
+        if isinstance(b, pd.DataFrame):
+            if len(b):
+                dfs.append(b)
+        elif b.num_rows:
+            dfs.append(b.to_pandas())
+    if not dfs:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "similarity": pd.Series([], dtype="float64")}
+        )
+    return bucket_fn(pd.concat(dfs, ignore_index=True))
+
+
+def _pairs_df_to_result(
+    pairs: pd.DataFrame, sim_col: str = "similarity"
+) -> NearDupResult:
+    """Fold + union-find group assembly for an already-collected small
+    pair table (the single-task scan path)."""
+    if len(pairs):
+        pairs = pairs.groupby(["doc_a", "doc_b"], as_index=False, sort=False)[
+            sim_col
+        ].max()
+    pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(pairs["doc_a"], pairs["doc_b"]):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    rows = sorted((d, find(d)) for d in parent)
+    groups = pd.DataFrame(rows, columns=["doc_id", "group_id"]).astype("int64")
+    if not len(pairs):
+        pairs = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             sim_col: pd.Series([], dtype="float64")}
+        )
+    return NearDupResult(pairs=pairs, groups=groups)
 
 
 def _pairs_dataset_to_result(
@@ -185,45 +246,75 @@ def minhash_lsh_neardup(
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # run-length bucket scan: lexsort + boundary flags instead of a
+        # pandas groupby — the overwhelming majority of (band, hash)
+        # buckets are singletons, and iterating them as Python groups
+        # costs more than every other stage combined
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "similarity": pd.Series([], dtype="float64")}
+        )
+        if not len(df):
+            return empty
+        bid = df["band_id"].to_numpy(np.int64)
+        bh = df["band_hash"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        sig = df["sig"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids, sig = bid[order], bh[order], ids[order], sig[order]
+        new = np.empty(len(bid), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(bid))
+        lens = ends - starts
+        pick = (lens >= 2) & (lens <= max_bucket)
+        if not pick.any():
+            return empty
+        # one decode of every signature (row-major uint64 matrix), then
+        # pair indices generated per bucket-SIZE class — a handful of
+        # Python iterations instead of one per bucket
+        sigmat = np.frombuffer(b"".join(sig.tolist()), dtype=np.uint64).reshape(
+            len(sig), -1
+        )
+        I_parts, J_parts = [], []
+        for L in np.unique(lens[pick]):
+            s_L = starts[pick][lens[pick] == L]
+            ii, jj = np.triu_indices(int(L), 1)
+            I_parts.append((s_L[:, None] + ii[None, :]).ravel())
+            J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
         out = []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2 or len(grp) > max_bucket:
-                continue
-            ids = grp["doc_id"].to_numpy(np.int64)
-            order = np.argsort(ids)
-            ids = ids[order]
-            sigm = np.stack(
-                [
-                    np.frombuffer(s, dtype=np.uint64)
-                    for s in grp["sig"].to_numpy()[order]
-                ]
-            )
-            ii, jj = np.triu_indices(len(ids), 1)
-            est = (sigm[ii] == sigm[jj]).mean(axis=1)
+        for c in range(0, len(I), 2_000_000):  # bound the bool workspace
+            Ic, Jc = I[c : c + 2_000_000], J[c : c + 2_000_000]
+            est = (sigmat[Ic] == sigmat[Jc]).mean(axis=1)
             keep = est >= threshold
             if keep.any():
                 out.append(
                     pd.DataFrame(
                         {
-                            "doc_a": ids[ii[keep]],
-                            "doc_b": ids[jj[keep]],
+                            "doc_a": ids[Ic[keep]],
+                            "doc_b": ids[Jc[keep]],
                             "similarity": est[keep],
                         }
                     )
                 )
         if not out:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "similarity": pd.Series([], dtype="float64")}
-            )
+            return empty
         return pd.concat(out, ignore_index=True)
 
-    cand = (
-        docs.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(docs)), keys=["band_hash"])
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-    )
+    sk = docs.map_batches(sketch, batch_format="pandas")
+    if docs.count() <= _SINGLE_TASK_SCAN_MAX_DOCS:
+        from ..state.csr import _block_refs
+
+        sk = sk.materialize()
+        pairs_df = ray.get(_scan_sketch_blocks.remote(bucket_pairs, *_block_refs(sk)))
+        return _pairs_df_to_result(pairs_df)
+    cand = sk.repartition(
+        shuffle_width(source_size_bytes(docs)), keys=["band_hash"]
+    ).map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
 
 
@@ -257,40 +348,67 @@ def simhash_neardup(
         )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # run-length bucket scan (see minhash bucket_pairs): singleton
+        # buckets are skipped wholesale by the length mask
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "similarity": pd.Series([], dtype="float64")}
+        )
+        if not len(df):
+            return empty
+        bid = df["band_id"].to_numpy(np.int64)
+        bh = df["band_hash"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        hs = df["simhash"].to_numpy(np.int64)
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids, hs = bid[order], bh[order], ids[order], hs[order]
+        new = np.empty(len(bid), dtype=bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(bid))
+        lens = ends - starts
+        pick = (lens >= 2) & (lens <= max_bucket)
+        if not pick.any():
+            return empty
+        I_parts, J_parts = [], []
+        for L in np.unique(lens[pick]):
+            s_L = starts[pick][lens[pick] == L]
+            ii, jj = np.triu_indices(int(L), 1)
+            I_parts.append((s_L[:, None] + ii[None, :]).ravel())
+            J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
         out = []
-        for _, grp in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(grp) < 2 or len(grp) > max_bucket:
-                continue
-            ids = grp["doc_id"].to_numpy(np.int64)
-            hs = grp["simhash"].to_numpy(np.int64)
-            o = np.argsort(ids)
-            ids, hs = ids[o], hs[o]
-            ii, jj = np.triu_indices(len(ids), 1)
-            d = hamming64(hs[ii], hs[jj])
+        for c in range(0, len(I), 8_000_000):
+            Ic, Jc = I[c : c + 8_000_000], J[c : c + 8_000_000]
+            d = hamming64(hs[Ic], hs[Jc])
             keep = d <= max_hamming
             if keep.any():
                 out.append(
                     pd.DataFrame(
                         {
-                            "doc_a": ids[ii[keep]],
-                            "doc_b": ids[jj[keep]],
+                            "doc_a": ids[Ic[keep]],
+                            "doc_b": ids[Jc[keep]],
                             "similarity": 1.0 - d[keep] / 64.0,
                         }
                     )
                 )
         if not out:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "similarity": pd.Series([], dtype="float64")}
-            )
+            return empty
         return pd.concat(out, ignore_index=True)
 
-    cand = (
-        docs.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(docs)), keys=["band_hash"])
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-    )
+    sk = docs.map_batches(sketch, batch_format="pandas")
+    if docs.count() <= _SINGLE_TASK_SCAN_MAX_DOCS:
+        from ..state.csr import _block_refs
+
+        sk = sk.materialize()
+        pairs_df = ray.get(_scan_sketch_blocks.remote(bucket_pairs, *_block_refs(sk)))
+        return _pairs_df_to_result(pairs_df)
+    cand = sk.repartition(
+        shuffle_width(source_size_bytes(docs)), keys=["band_hash"]
+    ).map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
 
 

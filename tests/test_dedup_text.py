@@ -72,6 +72,32 @@ def test_minhash_lsh_finds_neardups():
     assert (ver["jaccard"] > 0.5).all()
 
 
+def test_neardup_single_task_and_shuffle_paths_agree(monkeypatch):
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = _docs(
+        [base, base.replace("quick", "fast"), "totally different text " * 8,
+         base.replace("dog", "cat"), base]
+    )
+    small = minhash_lsh_neardup(docs, threshold=0.5)
+    s_small = simhash_neardup(docs)
+    monkeypatch.setattr(D, "_SINGLE_TASK_SCAN_MAX_DOCS", 0)
+    big = D.minhash_lsh_neardup(docs, threshold=0.5)
+    s_big = D.simhash_neardup(docs)
+    pd.testing.assert_frame_equal(
+        small.pairs, big.pairs.reset_index(drop=True), check_like=True
+    )
+    pd.testing.assert_frame_equal(
+        small.groups, big.groups.reset_index(drop=True), check_like=True
+    )
+    pd.testing.assert_frame_equal(
+        s_small.pairs, s_big.pairs.reset_index(drop=True), check_like=True
+    )
+
+
 def test_simhash_neardup_exact_duplicates():
     docs = _docs(["hello world foo bar baz", "hello world foo bar baz", "zzz qqq"])
     res = simhash_neardup(docs)
