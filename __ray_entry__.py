@@ -241,7 +241,6 @@ def _q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     return t
 
 
-# rows-only (no SQL-expressible oracle)
 def _q_minhash_groups(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.dedup import minhash_lsh_neardup
 
@@ -947,6 +946,93 @@ def _en_stop_list() -> str:
     return "[" + ",".join(f"'{w}'" for w in sorted(_STOPWORDS["en"])) + "]"
 
 
+def _lsh_topk_sql() -> str:
+    """SQL recomputation of pipelines/similarity.py lsh_topk (12 planes,
+    2 probes, k=5, queries 0-3): the seeded hyperplane matrix is
+    embedded as DOUBLE[] literals; sign(dot(e, H_j)) is normalization-
+    invariant so buckets come straight off the raw embeddings, probing
+    is bit_count(xor) <= probes, and candidates rank by exact cosine
+    with the same (sim DESC, vec_id) tie-break."""
+    rng = np.random.default_rng(42)
+    H = rng.standard_normal((64, 12))
+    bucket_expr = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ",".join(repr(float(x)) for x in H[:, j])
+        + f"]::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(12)
+    )
+    return f"""WITH b AS (
+  SELECT vec_id, embedding, ({bucket_expr})::UBIGINT AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qb FROM b WHERE vec_id IN (0,1,2,3)
+), cand AS (
+  SELECT q.query_id, v.vec_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim
+  FROM q JOIN b v ON v.vec_id <> q.query_id
+  WHERE bit_count(xor(v.bucket, q.qb)) <= 2
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
+
+
+def _minhash_groups_sql() -> str:
+    """Full SQL recomputation of pipelines/dedup.py minhash_lsh_neardup
+    (default 64 perms / 16 bands / threshold 0.5): the 5-char polynomial
+    rolling shingle hash (stages/minhash.py char_shingles_u64 — ascii()
+    equals the utf-8 byte on this ASCII corpus and mod-2^64 wraparound
+    is done in HUGEINT), the seeded universal-hash permutation table
+    embedded as literals, banding by signature-chunk equality (the
+    Python side buckets on a splitmix fold of the same chunk — equal
+    iff, modulo a ~2^-64 collision), signature-Jaccard ≥ 0.5
+    verification, and recursive min-label connected components matching
+    the union-find group assembly."""
+    from neo4j_graph_algorithms_ray.stages.minhash import _rng_params
+
+    a, b = _rng_params(64)
+    perm_rows = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(64))
+    B, M = 1099511628211, 1 << 64
+    sh_expr = " + ".join(
+        f"ascii(substr(text, i + {j}, 1))::HUGEINT * {pow(B, 4 - j, M)}::HUGEINT"
+        for j in range(5)
+    )
+    return rf"""WITH RECURSIVE pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+  FROM documents
+), shingle AS (
+  SELECT DISTINCT doc_id, (({sh_expr}) % 18446744073709551616::HUGEINT)::UBIGINT AS x
+  FROM pos
+), perm(p, pa, pb) AS (VALUES {perm_rows}
+), sig AS (
+  SELECT doc_id, p,
+         min(((pa::HUGEINT * x::HUGEINT + pb::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT) AS mh
+  FROM shingle CROSS JOIN perm GROUP BY doc_id, p
+), chunk AS (
+  SELECT doc_id, p // 4 AS band_id, list(mh ORDER BY p) AS c
+  FROM sig GROUP BY doc_id, p // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM chunk x JOIN chunk y
+    ON x.band_id = y.band_id AND x.c = y.c AND x.doc_id < y.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig s1 ON s1.doc_id = c.doc_a
+              JOIN sig s2 ON s2.doc_id = c.doc_b AND s2.p = s1.p
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 64.0 >= 0.5
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+), cc AS (
+  SELECT src AS doc_id, src AS label FROM sym
+  UNION
+  SELECT e.dst AS doc_id, c2.label FROM cc c2 JOIN sym e ON e.src = c2.doc_id
+)
+SELECT doc_id, min(label)::BIGINT AS group_id FROM cc GROUP BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "degree_out": f"WITH {_E_BIP} SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src",
@@ -1195,6 +1281,48 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.35""",
+        "lsh_topk": _lsh_topk_sql(),
+        "minhash_lsh_groups": _minhash_groups_sql(),
+        # full sketch→band→pair→component recomputation of
+        # pipelines/dedup.py simhash_neardup: per-token hash is the
+        # big-endian sha256 prefix (stages/minhash.py simhash64 uses the
+        # identical bytes), bit-votes → 64-bit sign aggregate (>>1 into
+        # int64 range), 4×16-bit bands bucket candidates, true Hamming
+        # ≤3 verifies, and a recursive min-label CTE reproduces the
+        # union-find group assembly (group_id = min component member)
+        "simhash_groups": r"""WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\S+'))) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(sha256(w), 1, 16))::UBIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+  GROUP BY doc_id, i
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 AND i > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)::BIGINT AS simhash
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, simhash, band_id,
+         (simhash >> (band_id * 16)) & 65535 AS band_hash
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_id)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash::UBIGINT, y.simhash::UBIGINT)) <= 3
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+), cc AS (
+  SELECT src AS doc_id, src AS label FROM sym
+  UNION
+  SELECT e.dst AS doc_id, c.label FROM cc c JOIN sym e ON e.src = c.doc_id
+)
+SELECT doc_id, min(label)::BIGINT AS group_id FROM cc GROUP BY doc_id""",
         # same strided sha256-prefix window min as stages/text.py
         # fingerprint64 (byte offsets == char offsets on this ASCII
         # corpus, so SQL substr sees the same windows)

@@ -86,13 +86,18 @@ def signature_jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over word tokens (blake2-hashed, sign-aggregated)."""
+    """64-bit SimHash over word tokens (sign-aggregated).
+
+    Token hash = big-endian first 8 bytes of sha256 — deliberately
+    SQL-recomputable as ``('0x'||substr(sha256(w),1,16))::UBIGINT`` so
+    the simhash_groups driver oracle can recompute the sketch in
+    DuckDB (same pattern as text_analysis.fingerprints)."""
 
     def sh(t: str) -> int:
         acc = np.zeros(64, dtype=np.int64)
         for w in set(t.split()):
             h = int.from_bytes(
-                hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+                hashlib.sha256(w.encode("utf-8")).digest()[:8], "big"
             )
             bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits.astype(bool), 1, -1)
