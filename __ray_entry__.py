@@ -313,7 +313,11 @@ def _q_betweenness(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.paths import betweenness_table
 
     g = _graph(sf_dir, "cyclic")
-    t = betweenness_table(g, directed=True, sample_probability=0.03, seed=7).to_pandas()
+    # source-subset Brandes (RA-Brandes shape) with the same
+    # deterministic vid<64 predicate sample as the closeness query —
+    # SQL-recomputable, unlike a seeded-RNG sample
+    sources = np.flatnonzero(g.vids < 64)
+    t = betweenness_table(g, directed=True, sources=sources).to_pandas()
     t["centrality"] = t["centrality"].round(4)
     return t
 
@@ -443,7 +447,9 @@ def _q_yens_paths(sf_dir: str) -> pd.DataFrame:
 
     g = _graph(sf_dir, "weighted_bipartite")
     vids = np.sort(g.vids)
-    return yens_k_shortest_paths(g, int(vids[0]), int(vids[-1]), k=3, directed=False)
+    t = yens_k_shortest_paths(g, int(vids[0]), int(vids[-1]), k=3, directed=False)
+    t["cost"] = t["cost"].round(6)
+    return t
 
 
 def _q_doc_sha256(sf_dir: str) -> Any:
@@ -843,6 +849,112 @@ far AS (SELECT v, SUM(1.0 / d) AS f FROM md GROUP BY v)
 SELECT vt.vid,
   ROUND(COALESCE(f.f, 0.0) / ((SELECT COUNT(*) FROM vx) - 1), 6) AS centrality
 FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
+
+
+def _yens_sql() -> str:
+    """k=3 loopless shortest paths min(vid)→max(vid) on the undirected
+    weighted bipartite graph, ranked by the pinned (cost, lexicographic
+    path) order of pipelines/walks.py yens_k_shortest_paths. Explicit
+    1–4-hop simple-path joins instead of a recursive walk (supplier
+    hubs make unbounded enumeration explode); 4 hops suffices at sf0.01
+    because edge weights are lineitem counts ≥ 1 and the 3rd-best path
+    costs 2.0 < any 5-hop path's ≥ 5 lower bound."""
+    return f"""WITH {_E_WBIP},
+und AS MATERIALIZED (
+  SELECT src AS a, dst AS b, MIN(weight) AS w FROM (
+    SELECT src, dst, weight FROM edges
+    UNION ALL SELECT dst, src, weight FROM edges
+  ) GROUP BY 1, 2
+),
+st AS MATERIALIZED (SELECT MIN(vid) AS s, MAX(vid) AS t FROM vertices),
+p1 AS (
+  SELECT [st.s, st.t] AS path, u.w AS cost
+  FROM und u, st WHERE u.a = st.s AND u.b = st.t
+),
+p2 AS (
+  SELECT [st.s, u1.b, st.t] AS path, u1.w + u2.w AS cost
+  FROM st, und u1, und u2
+  WHERE u1.a = st.s AND u2.a = u1.b AND u2.b = st.t
+    AND u1.b <> st.s AND u1.b <> st.t
+),
+p3 AS (
+  SELECT [st.s, u1.b, u2.b, st.t] AS path, u1.w + u2.w + u3.w AS cost
+  FROM st, und u1, und u2, und u3
+  WHERE u1.a = st.s AND u2.a = u1.b AND u3.a = u2.b AND u3.b = st.t
+    AND u1.b NOT IN (st.s, st.t) AND u2.b NOT IN (st.s, st.t, u1.b)
+),
+p4 AS (
+  SELECT [st.s, u1.b, u2.b, u3.b, st.t] AS path,
+         u1.w + u2.w + u3.w + u4.w AS cost
+  FROM st, und u1, und u2, und u3, und u4
+  WHERE u1.a = st.s AND u2.a = u1.b AND u3.a = u2.b AND u4.a = u3.b
+    AND u4.b = st.t
+    AND u1.b NOT IN (st.s, st.t) AND u2.b NOT IN (st.s, st.t, u1.b)
+    AND u3.b NOT IN (st.s, st.t, u1.b, u2.b)
+),
+allp AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+),
+ranked AS (
+  SELECT path, cost, ROW_NUMBER() OVER (ORDER BY cost, path) AS r FROM allp
+)
+SELECT r - 1 AS path_index, g.i - 1 AS step, path[g.i] AS vid, ROUND(cost, 6) AS cost
+FROM ranked, unnest(generate_series(1, len(path))) AS g(i)
+WHERE r <= 3"""
+
+
+def _betweenness_sql(levels: int = 8) -> str:
+    """Brandes betweenness from the vid<64 source set over the directed
+    cyclic graph — unrolled level-synchronous forward pass carrying
+    per-(source, vertex) shortest-path counts (sigma sums along the BFS
+    DAG), then the unrolled backward dependency accumulation
+    delta(v) = sum_w sigma_v/sigma_w * (1 + delta(w)) over DAG
+    successors (pipelines/paths.py _brandes_source, whole-level SQL
+    instead of whole-level numpy). ``levels`` must exceed the directed
+    eccentricity from the sources (measured 4 at sf0.01; 8 = margin)."""
+    parts = [
+        """vx AS MATERIALIZED (SELECT DISTINCT vid FROM vertices),
+f0 AS MATERIALIZED (SELECT vid AS s, vid AS v, 1.0 AS sigma FROM vx WHERE vid < 64),
+seen0 AS MATERIALIZED (SELECT s, v FROM f0)"""
+    ]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"""f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM f{k-1} f JOIN edges e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM seen{k-1} x WHERE x.s = f.s AND x.v = e.dst)
+  GROUP BY f.s, e.dst
+),
+seen{k} AS MATERIALIZED (
+  SELECT s, v FROM seen{k-1} UNION ALL SELECT s, v FROM f{k}
+)"""
+        )
+    parts.append(
+        f"dd{levels} AS MATERIALIZED (SELECT s, v, sigma, 0.0 AS delta FROM f{levels})"
+    )
+    for k in range(levels - 1, 0, -1):
+        parts.append(
+            f"""n{k+1} AS MATERIALIZED (
+  SELECT w.s, e.src AS pu, w.sigma, w.delta
+  FROM dd{k+1} w JOIN edges e ON e.dst = w.v
+),
+dd{k} AS MATERIALIZED (
+  SELECT f.s, f.v, f.sigma,
+         COALESCE(SUM(f.sigma / n.sigma * (1.0 + n.delta)), 0.0) AS delta
+  FROM f{k} f LEFT JOIN n{k+1} n ON n.s = f.s AND n.pu = f.v
+  GROUP BY f.s, f.v, f.sigma
+)"""
+        )
+    alldd = "\nUNION ALL ".join(
+        f"SELECT s, v, delta FROM dd{k}" for k in range(1, levels + 1)
+    )
+    return f"""WITH {_E_CYC},
+{",".join(parts)},
+alld AS ({alldd}),
+bc AS (SELECT v, SUM(delta) AS c FROM alld GROUP BY v)
+SELECT vt.vid, ROUND(COALESCE(b.c, 0.0), 4) AS centrality
+FROM vx vt LEFT JOIN bc b ON b.v = vt.vid"""
 
 
 def _mst_sql(levels: int = 8) -> str:
@@ -1247,6 +1359,8 @@ walk AS (
 )
 SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
         "closeness_harmonic_sampled": _closeness_sql(levels=8),
+        "betweenness_sampled": _betweenness_sql(levels=8),
+        "yens_k_shortest": _yens_sql(),
         # plain CTEs on purpose: DuckDB 1.0 returns EMPTY results on the
         # second consumption of a MATERIALIZED CTE built over parquet
         # views, and the single-reference chain in _eigen_cte keeps the

@@ -199,52 +199,101 @@ def node2vec_walks(
     return ds.map_batches(walk, batch_format="pyarrow", batch_size=1024)
 
 
+def _reverse_arcs(indptr, nbrs):
+    """Reverse-arc view of a CSR: (rev_indptr, rev_srcs, rev_fpos) where
+    rev_fpos maps each reverse slot back to its forward CSR position (so
+    forward-position edge bans apply to reverse traversal too)."""
+    n = len(indptr) - 1
+    srcs = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    order = np.argsort(nbrs, kind="stable")
+    rev_indptr = np.searchsorted(nbrs[order], np.arange(n + 1))
+    return rev_indptr, srcs[order], order
+
+
 def _dijkstra_masked(
-    indptr, nbrs, w, n: int, src: int, dst: int, banned_edges: set, banned_nodes: set
+    indptr,
+    nbrs,
+    w,
+    n: int,
+    src: int,
+    dst: int,
+    banned_edges: set,
+    banned_nodes: set,
+    rev=None,
 ):
-    """(cost, path) or None; edges banned as (u_idx_in_csr) positions."""
-    dist = np.full(n, np.inf)
-    prev = np.full(n, -1, dtype=np.int64)
-    dist[src] = 0.0
-    heap = [(0.0, src)]
+    """(cost, path) or None; edges banned as (u_idx_in_csr) positions.
+
+    The returned path is the LEXICOGRAPHICALLY SMALLEST vertex sequence
+    among all minimum-cost src→dst paths (pinned, documented tie-break —
+    the reference's Yen leaves ties unspecified; a total order makes the
+    result reproducible under any parallelism and SQL-checkable).
+    Computed as: Dijkstra distances-to-dst over the reverse arcs, then a
+    greedy forward walk that always steps to the smallest next vertex
+    still on SOME minimum-cost path."""
+    if rev is None:
+        rev = _reverse_arcs(indptr, nbrs)
+    rev_indptr, rev_srcs, rev_fpos = rev
+    dist_t = np.full(n, np.inf)
+    dist_t[dst] = 0.0
+    heap = [(0.0, dst)]
     done = np.zeros(n, dtype=bool)
     while heap:
-        d, u = heapq.heappop(heap)
-        if done[u]:
+        d, y = heapq.heappop(heap)
+        if done[y]:
             continue
-        if u == dst:
-            break
-        done[u] = True
-        for pos in range(indptr[u], indptr[u + 1]):
+        done[y] = True
+        for rpos in range(rev_indptr[y], rev_indptr[y + 1]):
+            fpos = rev_fpos[rpos]
+            if fpos in banned_edges:
+                continue
+            x = rev_srcs[rpos]
+            if x in banned_nodes or done[x]:
+                continue
+            nd = d + w[fpos]
+            if nd < dist_t[x]:
+                dist_t[x] = nd
+                heapq.heappush(heap, (nd, int(x)))
+    total = dist_t[src]
+    if not np.isfinite(total):
+        return None
+    path = [src]
+    acc = 0.0
+    cur = src
+    while cur != dst:
+        best_v, best_pos = -1, -1
+        for pos in range(indptr[cur], indptr[cur + 1]):
             if pos in banned_edges:
                 continue
             v = nbrs[pos]
-            if v in banned_nodes or done[v]:
+            if v in banned_nodes:
                 continue
-            nd = d + w[pos]
-            if nd < dist[v]:
-                dist[v] = nd
-                prev[v] = u
-                heapq.heappush(heap, (nd, int(v)))
-    if not np.isfinite(dist[dst]):
-        return None
-    path = [dst]
-    while path[-1] != src:
-        path.append(int(prev[path[-1]]))
-    return float(dist[dst]), path[::-1]
+            cand = acc + w[pos] + dist_t[v]
+            if cand <= total + 1e-9 * max(1.0, abs(total)) and (
+                best_v < 0 or v < best_v
+            ):
+                best_v, best_pos = int(v), pos
+        if best_v < 0:  # pragma: no cover — unreachable when total finite
+            return None
+        acc += w[best_pos]
+        path.append(best_v)
+        cur = best_v
+    return float(total), path
 
 
 def yens_k_shortest_paths(
     graph: GraphTables, start_vid: int, end_vid: int, k: int, directed: bool = True
 ) -> pd.DataFrame:
     """Rows (path_index, step, vid, cost) for up to k loopless shortest
-    paths, ordered by total cost (ties → discovery order)."""
+    paths, ordered by (total cost, lexicographic vertex sequence) — the
+    tie order is pinned (reference Yen leaves it unspecified) so results
+    are deterministic and recomputable by the SQL oracle."""
     indptr, nbrs, w = _csr(graph, directed=directed, dedup_parallel_min=True)
     vids = graph.vids
     n = graph.n
     s = int(np.searchsorted(vids, start_vid))
     t = int(np.searchsorted(vids, end_vid))
-    first = _dijkstra_masked(indptr, nbrs, w, n, s, t, set(), set())
+    rev = _reverse_arcs(indptr, nbrs)
+    first = _dijkstra_masked(indptr, nbrs, w, n, s, t, set(), set(), rev=rev)
     if first is None:
         return pd.DataFrame(
             {"path_index": [], "step": [], "vid": [], "cost": []}
@@ -266,7 +315,7 @@ def yens_k_shortest_paths(
                             banned_edges.add(pos)
             banned_nodes = set(root[:-1])
             spur_res = _dijkstra_masked(
-                indptr, nbrs, w, n, spur, t, banned_edges, banned_nodes
+                indptr, nbrs, w, n, spur, t, banned_edges, banned_nodes, rev=rev
             )
             if spur_res is None:
                 continue
@@ -280,14 +329,14 @@ def yens_k_shortest_paths(
             total = root_cost + spur_res[0]
             full = root[:-1] + spur_res[1]
             key = tuple(full)
-            if key not in seen_paths and all(c[2] != key for c in candidates):
-                candidates.append((total, len(candidates), key, full))
+            if key not in seen_paths and all(c[1] != key for c in candidates):
+                candidates.append((total, key, full))
         if not candidates:
             break
         candidates.sort(key=lambda c: (c[0], c[1]))
         best = candidates.pop(0)
-        paths.append((best[0], best[3]))
-        seen_paths.add(best[2])
+        paths.append((best[0], best[2]))
+        seen_paths.add(best[1])
     rows = []
     for pi, (cost, path) in enumerate(paths):
         for step, v in enumerate(path):
