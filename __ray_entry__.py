@@ -851,6 +851,99 @@ SELECT vt.vid,
 FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
 
 
+_WALK_STEPS = 6
+
+
+def _walk_hash_expr(step: int) -> str:
+    """SQL twin of pipelines/walks.py _hash_u64(42, walk_id, step)."""
+    return (
+        f"(('0x' || substr(sha256(concat('42:', w.walk_id, ':{step}')), 1, 16))"
+        "::UBIGINT)::HUGEINT"
+    )
+
+
+def _random_walks_sql() -> str:
+    """Step-unrolled recomputation of pipelines/walks.py random_walks
+    (8 smallest vids, 6 steps, seed 42, directed cyclic graph): the
+    per-step choice is rank 1 + (hash * deg) >> 64 over the vid-ordered
+    adjacency — identical integer arithmetic to the kernel's
+    nbrs[lo + ((h * deg) >> 64)] (CSR neighbor order == vid order)."""
+    parts = [
+        """adj AS MATERIALIZED (
+  SELECT src AS a, dst AS b,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+starts AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS walk_id
+  FROM (SELECT DISTINCT vid FROM vertices ORDER BY vid LIMIT 8)
+),
+w0 AS (SELECT walk_id, 0 AS step, vid AS cur FROM starts)"""
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        parts.append(
+            f"""w{k} AS (
+  SELECT w.walk_id, {k} AS step, a.b AS cur
+  FROM w{k-1} w JOIN adj a ON a.a = w.cur
+  WHERE a.rn = 1 + ({_walk_hash_expr(k)} * a.deg) // 18446744073709551616
+)"""
+        )
+    un = "\nUNION ALL ".join(f"SELECT * FROM w{k}" for k in range(_WALK_STEPS + 1))
+    return (
+        f"WITH {_E_CYC}, {','.join(parts)}\n"
+        f"SELECT walk_id, step, cur AS vid FROM ({un})"
+    )
+
+
+def _node2vec_sql(w_prev: int = 8, w_adj: int = 4, w_far: int = 2) -> str:
+    """Step-unrolled node2vec walk recomputation (p=0.5, q=2 → integer
+    transition weights 8/4/2 after the ×2·max(p,q) scaling in
+    pipelines/walks.py node2vec_walks): per step, window-cumsum the
+    weights in vid order and take the first candidate whose cumulative
+    weight exceeds (hash * total) >> 64 — the same exact integer pick
+    as _pick_weighted."""
+    parts = [
+        """adj AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges),
+starts AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS walk_id
+  FROM (SELECT DISTINCT vid FROM vertices ORDER BY vid LIMIT 8)
+),
+w0 AS (SELECT walk_id, 0 AS step, vid AS cur, NULL::BIGINT AS prev FROM starts)"""
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT w.walk_id, w.cur, a.b,
+         CASE WHEN a.b = w.prev THEN {w_prev}
+              WHEN EXISTS (SELECT 1 FROM adj p WHERE p.a = w.prev AND p.b = a.b) THEN {w_adj}
+              ELSE {w_far} END AS wt,
+         {_walk_hash_expr(k)} AS h
+  FROM w{k-1} w JOIN adj a ON a.a = w.cur
+),
+s{k} AS (
+  SELECT walk_id, cur, b, h,
+         SUM(wt) OVER (PARTITION BY walk_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         wt, SUM(wt) OVER (PARTITION BY walk_id) AS tot
+  FROM c{k}
+),
+w{k} AS (
+  SELECT walk_id, {k} AS step, b AS cur, cur AS prev
+  FROM s{k}
+  WHERE cum > (h * tot) // 18446744073709551616
+    AND cum - wt <= (h * tot) // 18446744073709551616
+)"""
+        )
+    un = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, cur FROM w{k}" for k in range(_WALK_STEPS + 1)
+    )
+    return (
+        f"WITH {_E_CYC}, {','.join(parts)}\n"
+        f"SELECT walk_id, step, cur AS vid FROM ({un})"
+    )
+
+
 def _yens_sql() -> str:
     """k=3 loopless shortest paths min(vid)→max(vid) on the undirected
     weighted bipartite graph, ranked by the pinned (cost, lexicographic
@@ -1361,6 +1454,8 @@ SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
         "closeness_harmonic_sampled": _closeness_sql(levels=8),
         "betweenness_sampled": _betweenness_sql(levels=8),
         "yens_k_shortest": _yens_sql(),
+        "random_walks": _random_walks_sql(),
+        "node2vec_walks": _node2vec_sql(),
         # plain CTEs on purpose: DuckDB 1.0 returns EMPTY results on the
         # second consumption of a MATERIALIZED CTE built over parquet
         # views, and the single-reference chain in _eigen_cte keeps the

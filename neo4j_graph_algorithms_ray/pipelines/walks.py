@@ -18,6 +18,7 @@
 
 from __future__ import annotations
 
+import hashlib
 import heapq
 
 import numpy as np
@@ -74,6 +75,25 @@ def _csr(graph: GraphTables, directed: bool = True, dedup_parallel_min: bool = F
     return indptr, di, w
 
 
+def _hash_u64(seed: int, walk_id: int, step: int) -> int:
+    """Per-(walk, step) 64-bit uniform — big-endian sha256 prefix of
+    "seed:walk_id:step". Hash-based instead of a seeded PRNG stream so
+    each step is independently recomputable (any parallelism, resumable
+    mid-walk) and the SQL oracle can reproduce walks exactly via
+    ('0x'||substr(sha256(...),1,16))::UBIGINT."""
+    key = f"{seed}:{walk_id}:{step}".encode()
+    return int.from_bytes(hashlib.sha256(key).digest()[:8], "big")
+
+
+def _pick_weighted(h: int, w_int: np.ndarray) -> int:
+    """Index choice by integer cumulative weights: smallest j with
+    cum[j] * 2^64 > h * total — exact integer arithmetic, mirrored by
+    the SQL oracle's window-cumsum comparison."""
+    cum = np.cumsum(w_int, dtype=np.int64)
+    t = (h * int(cum[-1])) >> 64
+    return int(np.searchsorted(cum, t, side="right"))
+
+
 def random_walks(
     graph: GraphTables,
     start_vids: np.ndarray,
@@ -103,7 +123,6 @@ def random_walks(
             batch["walk_id"].to_numpy(zero_copy_only=False),
             batch["start"].to_numpy(zero_copy_only=False),
         ):
-            rng = np.random.default_rng(_seed * 1_000_003 + int(wid))
             out_id.append(wid)
             out_step.append(0)
             out_vid.append(vv[cur])
@@ -111,7 +130,8 @@ def random_walks(
                 lo, hi = indptr[cur], indptr[cur + 1]
                 if hi <= lo:
                     break
-                cur = nbrs[lo + int(rng.integers(hi - lo))]
+                h = _hash_u64(_seed, int(wid), s)
+                cur = nbrs[lo + ((h * int(hi - lo)) >> 64)]
                 out_id.append(wid)
                 out_step.append(s)
                 out_vid.append(vv[cur])
@@ -156,13 +176,20 @@ def node2vec_walks(
     def walk(batch: pa.Table, _steps=steps, _seed=seed, _p=p, _q=q) -> pa.Table:
         indptr, nbrs, _w = ray.get(csr_ref)
         vv = ray.get(vids_ref)
-        inv_p, inv_q = 1.0 / _p, 1.0 / _q
+        # integer transition weights: scale (1/p, 1, 1/q) by 2·max(p,q,1)
+        # so the cumulative-pick arithmetic is exact (and matched by the
+        # SQL oracle) whenever p and q are halves/doubles; general p/q
+        # fall back to float weights scaled to a 2^20 integer grid
+        scale = 2.0 * max(_p, _q, 1.0)
+        trio = np.array([scale / _p, scale, scale / _q])
+        if not np.allclose(trio, np.round(trio)):
+            trio = np.round(trio * (1 << 20) / trio.max())
+        w_prev, w_adj, w_far = (int(x) for x in np.round(trio))
         out_id, out_step, out_vid = [], [], []
         for wid, cur in zip(
             batch["walk_id"].to_numpy(zero_copy_only=False),
             batch["start"].to_numpy(zero_copy_only=False),
         ):
-            rng = np.random.default_rng(_seed * 1_000_003 + int(wid))
             prev = -1
             out_id.append(wid)
             out_step.append(0)
@@ -172,17 +199,17 @@ def node2vec_walks(
                 if hi <= lo:
                     break
                 cand = nbrs[lo:hi]
+                h = _hash_u64(_seed, int(wid), s)
                 if prev < 0:
-                    nxt = cand[int(rng.integers(hi - lo))]
+                    nxt = cand[(h * int(hi - lo)) >> 64]
                 else:
                     # neighbors are di-sorted per source → membership in
                     # prev's adjacency via one vectorized searchsorted
                     pn = nbrs[indptr[prev] : indptr[prev + 1]]
                     pos = np.searchsorted(pn, cand)
                     is_adj = (pos < len(pn)) & (pn[np.minimum(pos, len(pn) - 1)] == cand)
-                    wgt = np.where(cand == prev, inv_p, np.where(is_adj, 1.0, inv_q))
-                    wgt = wgt / wgt.sum()
-                    nxt = cand[int(rng.choice(len(cand), p=wgt))]
+                    wgt = np.where(cand == prev, w_prev, np.where(is_adj, w_adj, w_far))
+                    nxt = cand[_pick_weighted(h, wgt)]
                 prev = int(cur)
                 cur = int(nxt)
                 out_id.append(wid)
