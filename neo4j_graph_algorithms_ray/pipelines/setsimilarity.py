@@ -29,6 +29,103 @@ from ..state.partitioning import shuffle_width
 
 _PACK = np.uint64(1) << np.uint64(32)
 
+# Below this many distinct (entity, item) rows the whole computation
+# runs in ONE remote task over the deduped blocks: the distributed path
+# pays three HashShuffle exchanges (~2 s fixed aggregator spin-up each)
+# that dwarf the actual work on inputs whose inverted index fits one
+# worker heap (same size-gated engine choice as dedup.py's
+# _SINGLE_TASK_SCAN_MAX_DOCS).
+_SINGLE_TASK_MAX_ROWS = 2_000_000
+
+
+def _pair_counts_arrays(ii, ee, cap):
+    """Packed co-entity pair keys + intersection counts from a complete
+    (item, entity) table (item groups must be whole)."""
+    order = np.lexsort((ee, ii))
+    ii, ee = ii[order], ee[order]
+    bounds = np.flatnonzero(np.diff(ii)) + 1
+    bounds = np.concatenate(([0], bounds, [len(ii)]))
+    out = []
+    for gi in range(len(bounds) - 1):
+        grp = ee[bounds[gi] : bounds[gi + 1]]
+        if len(grp) < 2 or (cap is not None and len(grp) > cap):
+            continue
+        a, b = np.triu_indices(len(grp), 1)
+        out.append(grp[a].astype(np.uint64) * _PACK + grp[b].astype(np.uint64))
+    if not out:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    packed = np.concatenate(out)
+    uniq, cnt = np.unique(packed, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
+def _score_pairs(pk, c, se, sv, metric, cutoff):
+    """(a, b, similarity) frame from globally-summed pair counts and the
+    sorted entity-size lookup (se, sv)."""
+    c = c.astype(np.float64)
+    a = (pk // _PACK).astype(np.int64)
+    b = (pk % _PACK).astype(np.int64)
+    sa = sv[np.searchsorted(se, a)].astype(np.float64)
+    sb = sv[np.searchsorted(se, b)].astype(np.float64)
+    if metric == "jaccard":
+        sim = c / (sa + sb - c)
+    else:
+        sim = c / np.minimum(sa, sb)
+    keep = sim >= cutoff
+    return pd.DataFrame({"a": a[keep], "b": b[keep], "similarity": sim[keep]})
+
+
+def _topk_frame(df: pd.DataFrame, topk: int) -> pd.DataFrame:
+    """Both-direction per-entity top-k with the (sim desc, b asc) tie
+    order; input is the complete one-direction pair table."""
+    df = pd.DataFrame(
+        {
+            "a": np.concatenate([df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)]),
+            "b": np.concatenate([df["b"].to_numpy(np.int64), df["a"].to_numpy(np.int64)]),
+            "similarity": np.tile(df["similarity"].to_numpy(np.float64), 2),
+        }
+    )
+    df = df.sort_values(
+        ["a", "similarity", "b"], ascending=[True, False, True], kind="stable"
+    )
+    df["rank"] = df.groupby("a", sort=False).cumcount() + 1
+    out = df[df["rank"] <= topk].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "entity_a": out["a"].to_numpy(np.int64),
+            "entity_b": out["b"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+            "similarity": out["similarity"].to_numpy(np.float64),
+        }
+    )
+
+
+@ray.remote
+def _setsim_single_task(metric, topk, cutoff, cap, *blocks) -> pd.DataFrame:
+    dfs = [
+        (b if isinstance(b, pd.DataFrame) else b.to_pandas())
+        for b in blocks
+        if (len(b) if isinstance(b, pd.DataFrame) else b.num_rows)
+    ]
+    if not dfs:
+        return pd.DataFrame(
+            {
+                "entity_a": pd.Series([], dtype="int64"),
+                "entity_b": pd.Series([], dtype="int64"),
+                "rank": pd.Series([], dtype="int64"),
+                "similarity": pd.Series([], dtype="float64"),
+            }
+        )
+    df = pd.concat(dfs, ignore_index=True).drop_duplicates()
+    sz = df.groupby("e", sort=True, as_index=False).size()
+    se = sz["e"].to_numpy(np.int64)
+    sv = sz["size"].to_numpy(np.int64)
+    pk, c = _pair_counts_arrays(
+        df["i"].to_numpy(np.int64), df["e"].to_numpy(np.int64), cap
+    )
+    pairs = _score_pairs(pk, c, se, sv, metric, cutoff)
+    return _topk_frame(pairs, topk)
+
 
 def set_similarity_topk(
     items: "rd.Dataset",
@@ -53,12 +150,23 @@ def set_similarity_topk(
             {"e": out[entity_col].to_numpy(np.int64), "i": out[item_col].to_numpy(np.int64)}
         )
 
+    deduped = items.map_batches(dedup, batch_format="pandas")
+    if items.count() <= _SINGLE_TASK_MAX_ROWS:
+        from ..state.csr import _block_refs
+
+        mat = deduped.materialize()
+        out = ray.get(
+            _setsim_single_task.remote(
+                metric, topk, cutoff, max_item_entities, *_block_refs(mat)
+            )
+        )
+        return rd.from_pandas(out)
+
     # distinct (e, i) — block-level dedup, completed by the item shuffle
     # (a duplicate surviving across blocks lands in the same item block
     # and dies in the per-block np.unique below)
     distinct = (
-        items.map_batches(dedup, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["i"])
+        deduped.repartition(shuffle_width(), keys=["i"])
         .materialize()  # read twice (sizes + pair fan-out) — shuffle once
     )
 
@@ -77,25 +185,10 @@ def set_similarity_topk(
 
     def pair_counts(df: pd.DataFrame, _cap=max_item_entities) -> pd.DataFrame:
         df = df.drop_duplicates()
-        ii = df["i"].to_numpy(np.int64)
-        ee = df["e"].to_numpy(np.int64)
-        order = np.lexsort((ee, ii))
-        ii, ee = ii[order], ee[order]
-        bounds = np.flatnonzero(np.diff(ii)) + 1
-        bounds = np.concatenate(([0], bounds, [len(ii)]))
-        out = []
-        for gi in range(len(bounds) - 1):
-            grp = ee[bounds[gi] : bounds[gi + 1]]
-            if len(grp) < 2 or (_cap is not None and len(grp) > _cap):
-                continue
-            a, b = np.triu_indices(len(grp), 1)
-            out.append(grp[a].astype(np.uint64) * _PACK + grp[b].astype(np.uint64))
-        if not out:
-            return pd.DataFrame({"pk": pd.Series([], dtype="uint64"),
-                                 "c": pd.Series([], dtype="int64")})
-        packed = np.concatenate(out)
-        uniq, cnt = np.unique(packed, return_counts=True)
-        return pd.DataFrame({"pk": uniq, "c": cnt.astype(np.int64)})
+        pk, c = _pair_counts_arrays(
+            df["i"].to_numpy(np.int64), df["e"].to_numpy(np.int64), _cap
+        )
+        return pd.DataFrame({"pk": pk, "c": c})
 
     folded = (
         distinct.map_batches(pair_counts, batch_format="pandas", batch_size=None)
@@ -109,18 +202,10 @@ def set_similarity_topk(
                                  "similarity": pd.Series([], dtype="float64")})
         se, sv = ray.get(sz_ref)
         g = df.groupby("pk", sort=False, as_index=False)["c"].sum()
-        pk = g["pk"].to_numpy(np.uint64)
-        c = g["c"].to_numpy(np.float64)
-        a = (pk // _PACK).astype(np.int64)
-        b = (pk % _PACK).astype(np.int64)
-        sa = sv[np.searchsorted(se, a)].astype(np.float64)
-        sb = sv[np.searchsorted(se, b)].astype(np.float64)
-        if _metric == "jaccard":
-            sim = c / (sa + sb - c)
-        else:
-            sim = c / np.minimum(sa, sb)
-        keep = sim >= _cut
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "similarity": sim[keep]})
+        return _score_pairs(
+            g["pk"].to_numpy(np.uint64), g["c"].to_numpy(np.int64),
+            se, sv, _metric, _cut,
+        )
 
     pairs = folded.map_batches(score, batch_format="pandas", batch_size=None)
 
