@@ -65,6 +65,24 @@ def test_node2vec_walks_seeded_and_biased():
     assert backtracks(0.1, 1.0) > backtracks(10.0, 1.0)
 
 
+def test_set_similarity_single_task_and_shuffle_paths_agree(monkeypatch):
+    from neo4j_graph_algorithms_ray.pipelines import setsimilarity as S
+
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 30, 400)
+    i = rng.integers(0, 12, 400)
+    items = rd.from_arrow(pa.table({"e": e, "i": i}))
+    small = S.set_similarity_topk(items, metric="overlap", topk=3, cutoff=0.2).to_pandas()
+    monkeypatch.setattr(S, "_SINGLE_TASK_MAX_ROWS", 0)
+    big = S.set_similarity_topk(items, metric="overlap", topk=3, cutoff=0.2).to_pandas()
+    key = ["entity_a", "rank"]
+    pd.testing.assert_frame_equal(
+        small.sort_values(key).reset_index(drop=True),
+        big.sort_values(key).reset_index(drop=True),
+        check_like=True,
+    )
+
+
 def test_set_similarity_topk_matches_bruteforce():
     from neo4j_graph_algorithms_ray.pipelines.setsimilarity import (
         set_similarity_topk,
