@@ -54,7 +54,8 @@ class LabelPropagationConfig:
     directed: bool = False  # reference default direction is OUTGOING;
     # undirected (BOTH) is what the community fixtures use
     combine: str = "driver"  # or "shuffle"
-    engine: str = "auto"  # "actor" (state.shards pool) | "dataflow" | "auto"
+    engine: str = "auto"  # "actor" (state.shards pool) | "dataflow" |
+    # "range" (range-owner label shards, >10^8-vertex path) | "auto"
     checkpoint: Optional[CheckpointConfig] = None
 
 
@@ -131,6 +132,41 @@ def label_propagation(
                 input_token=graph.token,
             )
 
+    if config.engine == "range":
+        # range-sharded labels (multi-node ceiling, same protocol as
+        # PageRank/WCC range engines): per-vertex state lives in range
+        # owners, vote triples flow shard→owner split by target range,
+        # the driver folds R changed-counts per round — O(S·R) refs
+        # instead of the O(S·n) partial fold. Bit-identical to the
+        # actor engine (same vote fold + argmax + min-tie kernels).
+        from ..state.shards import RangeEngine
+
+        sg = graph.sharded()
+        eng = RangeEngine(sg)
+        eng.set_vector(arr=labels)
+        while it < max_iters:
+            ti = time.perf_counter()
+            changed = eng.lpa_round(
+                weighted=config.weighted, directed=config.directed
+            )
+            it += 1
+            if ckpt is not None and it % ckpt.every == 0:
+                labels = eng.collect()
+                maybe_ckpt(it, labels, changed, time.perf_counter() - ti)
+            if config.fixed_iterations is None and changed == 0:
+                converged = True
+                break
+        labels = eng.collect()
+        return LabelPropagationResult(
+            labels=labels,
+            iterations=it,
+            converged=converged,
+            metrics={
+                "seconds": time.perf_counter() - t0,
+                "engine": "range",
+                "num_ranges": eng.num_ranges,
+            },
+        )
     if use_actor:
         sg = graph.sharded()
         while it < max_iters:

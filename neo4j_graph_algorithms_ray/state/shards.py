@@ -312,6 +312,24 @@ class _EdgeShard:
         pieces = [out[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
 
+    def lpa_votes_split(self, cuts, weighted: bool, directed: bool, *slices):
+        """Range-engine LPA round: label slices in, the shard's folded
+        (tgt, lab, w) vote triples out, SPLIT at ``cuts`` by target
+        range (triples are tgt-sorted, so the split is a searchsorted).
+        Each piece flows straight to its owning range actor."""
+        labels = np.concatenate(slices) if len(slices) > 1 else slices[0]
+        tgt, lab, w = self.lpa_votes(labels, weighted, directed)
+        bounds = np.searchsorted(tgt, cuts)
+        pieces = [
+            (
+                tgt[bounds[r] : bounds[r + 1]],
+                lab[bounds[r] : bounds[r + 1]],
+                w[bounds[r] : bounds[r + 1]],
+            )
+            for r in range(len(cuts) - 1)
+        ]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
     # ------------------------------------------------------------------
     # WCC: per-shard local CC once → star edges; min round over them
     # ------------------------------------------------------------------
@@ -830,6 +848,35 @@ class _RangeOwner:
         self.vec = new
         return delta
 
+    def lpa_update(self, *pieces) -> int:
+        """One synchronous LPA round for this range: fold the per-shard
+        (tgt, lab, w) vote triples addressed here, argmax summed weight
+        per vertex (tie → min label), adopt; vertices with no votes keep
+        their label. Returns the changed count (the only thing the
+        driver sees)."""
+        parts = [p for p in pieces if len(p[0])]
+        if not parts:
+            return 0
+        tgt = np.concatenate([p[0] for p in parts]) - self.lo
+        lab = np.concatenate([p[1] for p in parts])
+        w = np.concatenate([p[2] for p in parts])
+        order = np.lexsort((lab, tgt))
+        t_s, l_s, w_s = tgt[order], lab[order], w[order]
+        first = np.ones(len(t_s), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(first)
+        t_g, l_g = t_s[starts], l_s[starts]
+        w_g = np.add.reduceat(w_s, starts)
+        order2 = np.lexsort((l_g, -w_g, t_g))
+        t_o, l_o = t_g[order2], l_g[order2]
+        keep = np.ones(len(t_o), dtype=bool)
+        keep[1:] = t_o[1:] != t_o[:-1]
+        new = self.vec.copy()
+        new[t_o[keep]] = l_o[keep]
+        changed = int((new != self.vec).sum())
+        self.vec = new
+        return changed
+
     def min_update(self, *pieces) -> int:
         cand = np.minimum.reduce(np.stack(pieces)) if len(pieces) > 1 else pieces[0]
         new = np.minimum(self.vec, cand)
@@ -905,6 +952,24 @@ class RangeEngine:
             for r, o in enumerate(self.owners)
         ]
         return float(sum(ray.get(delta_futs)))
+
+    def lpa_round(self, weighted: bool = False, directed: bool = False) -> int:
+        """One synchronous LPA round across owners: label slices flow
+        owner→shard, folded vote-triple pieces shard→owner, the driver
+        folds R changed-counts."""
+        R = self.num_ranges
+        slice_refs = [o.get_vec.remote() for o in self.owners]
+        piece_refs = []
+        for a in self.sg.actors:
+            fut = a.lpa_votes_split.options(num_returns=R).remote(
+                self.cuts, weighted, directed, *slice_refs
+            )
+            piece_refs.append(fut if R > 1 else [fut])
+        futs = [
+            o.lpa_update.remote(*[piece_refs[s][r] for s in range(len(piece_refs))])
+            for r, o in enumerate(self.owners)
+        ]
+        return int(sum(ray.get(futs)))
 
     def min_round(self) -> int:
         piece_refs = self._round_refs("min", weighted=False)

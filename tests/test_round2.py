@@ -65,6 +65,42 @@ def test_node2vec_walks_seeded_and_biased():
     assert backtracks(0.1, 1.0) > backtracks(10.0, 1.0)
 
 
+def test_lpa_range_engine_matches_actor():
+    from neo4j_graph_algorithms_ray.pipelines.labelprop import (
+        LabelPropagationConfig,
+        label_propagation,
+    )
+
+    g = _random_graph(13, n=400, m=3000)
+    a = label_propagation(g, LabelPropagationConfig(engine="actor"))
+    r = label_propagation(g, LabelPropagationConfig(engine="range"))
+    np.testing.assert_array_equal(a.labels, r.labels)
+    assert a.iterations == r.iterations and r.converged == a.converged
+    # multi-range protocol exercised explicitly (R=4): vote triples
+    # split shard -> owner, driver folds changed-counts only
+    from neo4j_graph_algorithms_ray.state.shards import RangeEngine
+
+    sg = g.sharded()
+    eng = RangeEngine(sg, num_ranges=4)
+    assert eng.num_ranges == 4
+    labels = g.vids.copy()
+    eng.set_vector(arr=labels)
+    for _ in range(a.iterations):
+        changed = eng.lpa_round()
+        if changed == 0:
+            break
+    np.testing.assert_array_equal(a.labels, eng.collect())
+    # weighted + directed variant, fixed iterations
+    gw = GraphTables.from_arrays(
+        np.array([0, 1, 2, 3, 0]), np.array([1, 2, 3, 0, 2]),
+        weight=np.array([1.0, 2.0, 3.0, 1.0, 5.0]),
+    )
+    cfgs = dict(weighted=True, directed=True, fixed_iterations=3)
+    aw = label_propagation(gw, LabelPropagationConfig(engine="actor", **cfgs))
+    rw = label_propagation(gw, LabelPropagationConfig(engine="range", **cfgs))
+    np.testing.assert_array_equal(aw.labels, rw.labels)
+
+
 def test_set_similarity_single_task_and_shuffle_paths_agree(monkeypatch):
     from neo4j_graph_algorithms_ray.pipelines import setsimilarity as S
 
