@@ -272,6 +272,14 @@ def _q_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import ivf_topk
+
+    t = ivf_topk(_emb(sf_dir), [0, 1, 2, 3], k=5)
+    t["sim"] = t["sim"].round(4)
+    return t
+
+
 def _q_fingerprints(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.text_analysis import fingerprints
 
@@ -636,6 +644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_counts": _q_lang_counts,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
         "events_tumbling_daily": _q_events_tumbling,
         "events_hopping_1d_6h": _q_events_hopping,
         "sessionize": _q_sessionize,
@@ -1183,6 +1192,75 @@ def _lsh_topk_sql() -> str:
 SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
 
 
+def _ivf_topk_sql(K: int = 16, T: int = 4, NP: int = 2, DIM: int = 64) -> str:
+    """Unrolled recomputation of pipelines/similarity.py ivf_topk: the
+    same ``T`` Lloyd sweeps (init = embeddings of the K smallest
+    vec_ids, euclidean argmin with min-centroid tie-break, per-cell
+    means rounded to the 1e-6 grid that keeps numpy and SQL summation
+    orders bit-aligned), then exact cosine ranking within each query's
+    NP probed cells."""
+    parts = [
+        f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(v, x -> ROUND(x, 6)) AS c
+  FROM e ORDER BY vec_id LIMIT {K}
+)"""
+    ]
+    for it in range(1, T + 1):
+        parts.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.c), c.cl) AS rn
+    FROM e, c{it-1} c
+  ) WHERE rn = 1
+),
+m{it} AS MATERIALIZED (
+  SELECT a.cl, g.i AS pos, ROUND(AVG(a.v[g.i]), 6) AS val
+  FROM a{it} a, unnest(generate_series(1, {DIM})) g(i)
+  GROUP BY a.cl, g.i
+),
+c{it} AS MATERIALIZED (
+  SELECT cl, list(val ORDER BY pos) AS c FROM m{it} GROUP BY cl
+  UNION ALL
+  SELECT p.cl, p.c FROM c{it-1} p
+  WHERE p.cl NOT IN (SELECT DISTINCT cl FROM a{it})
+)"""
+        )
+    return f"""WITH {','.join(parts)},
+afin AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.c), c.cl) AS rn
+    FROM e, c{T} c
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, cl FROM (
+    SELECT q.vec_id AS query_id, c.cl,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.v, c.c), c.cl) AS rn
+    FROM e q, c{T} c WHERE q.vec_id IN (0, 1, 2, 3)
+  ) WHERE rn <= {NP}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, q.v) AS sim
+  FROM probed p
+  JOIN afin a ON a.cl = p.cl
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
+
+
 def _minhash_groups_sql() -> str:
     """Full SQL recomputation of pipelines/dedup.py minhash_lsh_neardup
     (default 64 perms / 16 bands / threshold 0.5): the 5-char polynomial
@@ -1491,6 +1569,7 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.35""",
         "lsh_topk": _lsh_topk_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "minhash_lsh_groups": _minhash_groups_sql(),
         # full sketch→band→pair→component recomputation of
         # pipelines/dedup.py simhash_neardup: per-token hash is the

@@ -259,6 +259,124 @@ def lsh_topk(
     return top.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
+def ivf_topk(
+    embeddings: "rd.Dataset",
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    train_iters: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (coarse k-means quantizer — the
+    inverted-file scale path next to ``lsh_topk``): train a small
+    centroid codebook with ``train_iters`` distributed Lloyd sweeps
+    (per-block assignment + per-cluster sum/count partials; the driver
+    folds only the k×d codebook), then score queries exactly but ONLY
+    against vectors whose cell is among the query's ``nprobe`` nearest
+    centroids.
+
+    Deliberately deterministic and SQL-recomputable (the driver oracle
+    unrolls the same Lloyd sweeps in DuckDB): init = the embeddings of
+    the ``n_centroids`` smallest vec_ids, assignment = euclidean argmin
+    with min-centroid tie-break, and every updated centroid is rounded
+    to a 1e-6 grid so numpy and SQL summation-order differences cannot
+    drift the iteration."""
+    init = (
+        embeddings.select_columns([id_col, vec_col])
+        .sort(id_col)
+        .limit(n_centroids)
+        .to_pandas()
+    )
+    cent = np.round(_to_matrix(init, vec_col), 6)
+
+    def assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = (
+            (m * m).sum(1, keepdims=True)
+            - 2.0 * (m @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        return np.argmin(d2, axis=1)  # first min == smallest centroid id
+
+    for _ in range(train_iters):
+        c_ref = ray.put(cent)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(c_ref)
+            m = _to_matrix(df, vec_col)
+            a = assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cl": np.arange(len(c), dtype=np.int64),
+                    "cnt": cnt,
+                    "s": list(sums),
+                }
+            )
+
+        folded = embeddings.map_batches(part, batch_format="pandas").to_pandas()
+        sums = np.zeros_like(cent)
+        cnt = np.zeros(len(cent), dtype=np.int64)
+        for cl, c_, s_ in zip(folded["cl"], folded["cnt"], folded["s"]):
+            sums[cl] += np.asarray(s_)
+            cnt[cl] += int(c_)
+        nonempty = cnt > 0
+        new_c = cent.copy()
+        new_c[nonempty] = sums[nonempty] / cnt[nonempty, None]
+        cent = np.round(new_c, 6)
+
+    q_rows = _select_rows(embeddings, query_ids, id_col).sort_values(id_col)
+    qm_raw = _to_matrix(q_rows, vec_col)
+    qm = _normalize(qm_raw)
+    qids = q_rows[id_col].to_numpy(np.int64)
+    qd2 = (
+        (qm_raw * qm_raw).sum(1, keepdims=True)
+        - 2.0 * (qm_raw @ cent.T)
+        + (cent * cent).sum(1)[None, :]
+    )
+    # nprobe nearest cells per query (tie → smaller centroid id: stable
+    # argsort of (distance, id) pairs)
+    probed = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((qids, qm, probed, cent))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qmat, prb, c = ray.get(ref)
+        m_raw = _to_matrix(df, vec_col)
+        m = _normalize(m_raw)
+        vids = df[id_col].to_numpy(np.int64)
+        a = assign(m_raw, c)
+        out = []
+        for qi in range(len(ids)):
+            mask = np.isin(a, prb[qi]) & (vids != ids[qi])
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            s = m[idx] @ qmat[qi]
+            order = np.lexsort((vids[idx], -s))[:k]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": ids[qi], "vec_id": vids[idx][order], "sim": s[order]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
+
+
 def cosine_neardup(
     embeddings: "rd.Dataset",
     threshold: float = 0.95,

@@ -65,6 +65,28 @@ def test_node2vec_walks_seeded_and_biased():
     assert backtracks(0.1, 1.0) > backtracks(10.0, 1.0)
 
 
+def test_ivf_topk_recall_vs_exact():
+    from neo4j_graph_algorithms_ray.pipelines.similarity import ann_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    n, d = 400, 32
+    # clustered embeddings (IVF's favorable regime): recall should be
+    # high when neighbors share cells
+    centers = rng.standard_normal((8, d)) * 3
+    m = centers[rng.integers(0, 8, n)] + rng.standard_normal((n, d)) * 0.3
+    emb = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m.astype(np.float32))})
+    )
+    qs = [0, 1, 2, 3]
+    exact = ann_topk(emb, qs, k=5)
+    approx = ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2)
+    hit = len(approx.merge(exact, on=["query_id", "vec_id"]))
+    assert hit / len(exact) >= 0.9
+    # determinism
+    again = ivf_topk(emb, qs, k=5, n_centroids=8, nprobe=2)
+    pd.testing.assert_frame_equal(approx, again)
+
+
 def test_lpa_range_engine_matches_actor():
     from neo4j_graph_algorithms_ray.pipelines.labelprop import (
         LabelPropagationConfig,
