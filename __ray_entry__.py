@@ -272,6 +272,23 @@ def _q_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+_SQLPROJ_EDGES = (
+    "SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem"
+)
+
+
+def _q_sql_projection_degree(sf_dir: str) -> pa.Table:
+    """Cypher-projection analog: an arbitrary edge SQL becomes a
+    GraphTables (sources/sqlproj.py), then a normal pipeline runs on
+    it — here out-degree over a part→supplier projection."""
+    from neo4j_graph_algorithms_ray.sources.sqlproj import graph_from_sql
+
+    g = graph_from_sql(sf_dir, _SQLPROJ_EDGES)
+    return pa.table(
+        {"vid": g.vids, "out_deg": g.out_degree().astype(np.int64)}
+    )
+
+
 def _q_ivf_topk(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.similarity import ivf_topk
 
@@ -645,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "sql_projection_degree": _q_sql_projection_degree,
         "events_tumbling_daily": _q_events_tumbling,
         "events_hopping_1d_6h": _q_events_hopping,
         "sessionize": _q_sessionize,
@@ -1570,6 +1588,10 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.35""",
         "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": _ivf_topk_sql(),
+        "sql_projection_degree": f"""WITH edges AS ({_SQLPROJ_EDGES}),
+vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
+SELECT v.vid, COUNT(e.src)::BIGINT AS out_deg
+FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "minhash_lsh_groups": _minhash_groups_sql(),
         # full sketch→band→pair→component recomputation of
         # pipelines/dedup.py simhash_neardup: per-token hash is the

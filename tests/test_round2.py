@@ -65,6 +65,35 @@ def test_node2vec_walks_seeded_and_biased():
     assert backtracks(0.1, 1.0) > backtracks(10.0, 1.0)
 
 
+def test_write_back_sinks_resumable(tmp_path):
+    from neo4j_graph_algorithms_ray.state.sinks import (
+        write_node_properties,
+        write_relationships,
+    )
+
+    g = _random_graph(3, n=200, m=800)
+    vec = np.arange(200, dtype=np.float64)
+    d = str(tmp_path / "props")
+    st = write_node_properties(g, {"score": vec}, d, partitions=4)
+    assert st["rows"] == 200 and st["skipped"] == 0
+    assert (tmp_path / "props" / "_SUCCESS").exists()
+    back = pd.concat(
+        [pd.read_parquet(str(tmp_path / "props" / f)) for f in sorted(
+            p for p in __import__("os").listdir(d) if p.endswith(".parquet"))],
+        ignore_index=True,
+    ).sort_values("vid")
+    np.testing.assert_array_equal(back["score"].to_numpy(), vec)
+    # resume: drop one partition, re-run → only that one rewritten
+    (tmp_path / "props" / "part-00002.parquet").unlink()
+    st2 = write_node_properties(g, {"score": vec}, d, partitions=4)
+    assert st2["skipped"] == 3 and st2["rows"] == 50
+
+    rels = pd.DataFrame({"src": [1, 2], "dst": [2, 3], "similarity": [0.9, 0.8]})
+    st3 = write_relationships(rels, str(tmp_path / "rels"))
+    assert st3["rows"] == 2
+    assert (tmp_path / "rels" / "_SUCCESS").exists()
+
+
 def test_ivf_topk_recall_vs_exact():
     from neo4j_graph_algorithms_ray.pipelines.similarity import ann_topk, ivf_topk
 
