@@ -63,6 +63,12 @@ _BENCH_QUERIES = [
     # sf0.01 by the driver instead
     "token_stats",
     "ann_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "simhash_groups",
+    "node2vec_walks",
+    "yens_k_shortest",
+    "sql_projection_degree",
     "events_tumbling_daily",
     "sessionize",
 ]
