@@ -87,6 +87,62 @@ def decode_features(
     )
 
 
+class AudioWindowStage:
+    """Actor-pool stage: window audio payloads and emit per-window
+    features. The PCM decode is a STUB (no ffmpeg/soundfile in this
+    container — the payload bytes stand in for samples); the windowing
+    arithmetic, per-actor setup and (media_id, window_no, feature)
+    output layout are the real production shape."""
+
+    def __init__(self, window: int = 4096, hop: int = 2048, fake: bool = True):
+        self.window = window
+        self.hop = hop
+        if not fake:
+            raise NotImplementedError(
+                "real audio decode requires ffmpeg/soundfile — not in this container"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, wins, feats = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            # STUB decode: bytes as uint8 "samples"
+            samples = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+            if len(samples) < self.window:
+                samples = np.pad(samples, (0, self.window - len(samples)))
+            n_win = 1 + (len(samples) - self.window) // self.hop
+            for w in range(n_win):
+                seg = samples[w * self.hop : w * self.hop + self.window]
+                ids.append(mid)
+                wins.append(w)
+                feats.append(
+                    [float(seg.mean()), float(seg.std()), float(np.abs(np.diff(seg)).mean())]
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "window_no": pa.array(wins, pa.int64()),
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+def audio_window_features(
+    audio: "rd.Dataset", *, window: int = 4096, hop: int = 2048, concurrency: int = 2
+) -> "rd.Dataset":
+    """Actor-pool audio windowing pipeline (fake decode; real plumbing —
+    small batches because rows carry large binary payloads)."""
+    return audio.map_batches(
+        AudioWindowStage,
+        fn_constructor_kwargs={"window": window, "hop": hop, "fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def frame_sample_stage(video: "rd.Dataset", every_n: int = 10) -> "rd.Dataset":
     """Video frame-sampling STUB: emits (media_id, frame_no) rows for a
     deterministic fake frame count derived from payload length (a real

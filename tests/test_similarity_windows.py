@@ -126,6 +126,28 @@ def test_multimodal_decode_stage():
     assert (frames.groupby("media_id").size().values == [1, 1, 2, 2, 3]).all()
 
 
+def test_audio_window_stage():
+    from neo4j_graph_algorithms_ray.stages.multimodal import audio_window_features
+
+    payloads = [bytes(range(256)) * 40, b"\x01" * 100]  # 10240 B, short 100 B
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": np.array([0, 1], dtype=np.int64),
+                "kind": ["audio"] * 2,
+                "payload": payloads,
+            }
+        )
+    )
+    out = audio_window_features(media, window=4096, hop=2048, concurrency=1).to_pandas()
+    # 10240 samples → 1 + (10240-4096)//2048 = 4 windows; short clip pads → 1
+    counts = out.groupby("media_id").size()
+    assert counts[0] == 4 and counts[1] == 1
+    assert all(len(f) == 3 for f in out["feature"])
+    out2 = audio_window_features(media, window=4096, hop=2048, concurrency=1).to_pandas()
+    assert np.allclose(np.stack(out["feature"]), np.stack(out2["feature"]))
+
+
 def test_metric_topk_euclidean_and_pearson_vs_numpy():
     from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
 
