@@ -334,6 +334,56 @@ def _q_closeness(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_closeness_standard(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.paths import closeness_table
+
+    g = _graph(sf_dir, "cyclic")
+    sources = np.flatnonzero(g.vids < 64)
+    t = closeness_table(g, variant="standard", sources=sources).to_pandas()
+    t["centrality"] = t["centrality"].round(6)
+    return t
+
+
+def _q_closeness_dangalchev(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.paths import closeness_table
+
+    g = _graph(sf_dir, "cyclic")
+    sources = np.flatnonzero(g.vids < 64)
+    t = closeness_table(g, variant="dangalchev", sources=sources).to_pandas()
+    t["centrality"] = t["centrality"].round(6)
+    return t
+
+
+def _q_allpairs_depth(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.paths import msbfs_depth_table
+
+    g = _graph(sf_dir, "cyclic")
+    sources = np.flatnonzero(g.vids < 64)
+    return msbfs_depth_table(g, sources, directed=False)
+
+
+def _q_sssp_dijkstra(sf_dir: str) -> pa.Table:
+    """Weighted SSSP surface (P1/P3) exposed directly — same graph and
+    source as delta_stepping_sssp so both engines are driver-checked
+    against the same recursive-CTE oracle."""
+    from neo4j_graph_algorithms_ray.pipelines.paths import sssp
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    src = int(np.sort(g.vids)[0])
+    res = sssp(g, src, directed=False)
+    keep = np.isfinite(res.distances)
+    return pa.table(
+        {"vid": g.vids[keep], "distance": np.round(res.distances[keep], 6)}
+    )
+
+
+def _q_triangle_stream(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_stream
+
+    g = _graph(sf_dir, "co_supplier")
+    return triangle_stream(g)
+
+
 def _q_betweenness(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.paths import betweenness_table
 
@@ -639,6 +689,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "avg_clustering_coefficient": _q_avg_clustering,
         "closeness_harmonic_sampled": _q_closeness,
+        "closeness_sampled": _q_closeness_standard,
+        "closeness_dangalchev_sampled": _q_closeness_dangalchev,
+        "allpairs_depth_sampled": _q_allpairs_depth,
+        "sssp_dijkstra": _q_sssp_dijkstra,
+        "triangle_stream": _q_triangle_stream,
         "betweenness_sampled": _q_betweenness,
         "pagerank_weighted_k5": _q_pagerank_weighted_k5,
         "wcc_threshold": _q_wcc_threshold,
@@ -839,14 +894,16 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-def _closeness_sql(levels: int = 8) -> str:
-    """Harmonic closeness from the vid<64 source sample over the
+def _closeness_sql(levels: int = 8, variant: str = "harmonic") -> str:
+    """Closeness variants from the vid<64 source sample over the
     undirected cyclic graph — UNROLLED level-synchronous BFS (one
     materialized frontier CTE per depth + anti-join against the seen
     set). A recursive-CTE closure over (s, v, d) re-enumerates every
     non-minimal depth and runs minutes; the unrolled form is seconds.
     ``levels`` must exceed the sampled eccentricity (measured 4 at
-    sf0.01; 8 gives margin)."""
+    sf0.01; 8 gives margin). ``variant`` mirrors
+    pipelines/paths.py closeness_table: harmonic Σ(1/d)/(n-1),
+    standard (n-1)/Σd, dangalchev Σ2^-d."""
     parts = [
         f"""und AS MATERIALIZED (
   SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges
@@ -869,13 +926,34 @@ seen{k} AS MATERIALIZED (
     md = "\nUNION ALL ".join(
         f"SELECT s, v, {k} AS d FROM f{k}" for k in range(1, levels + 1)
     )
+    if variant == "harmonic":
+        far = "SUM(1.0 / d)"
+        cent = "ROUND(COALESCE(f.f, 0.0) / ((SELECT COUNT(*) FROM vx) - 1), 6)"
+    elif variant == "standard":
+        far = "SUM(d::DOUBLE)"
+        cent = (
+            "ROUND(CASE WHEN COALESCE(f.f, 0.0) > 0 THEN "
+            "((SELECT COUNT(*) FROM vx) - 1) / f.f ELSE 0.0 END, 6)"
+        )
+    elif variant == "dangalchev":
+        far = "SUM(1.0 / POWER(2.0, d))"
+        cent = "ROUND(COALESCE(f.f, 0.0), 6)"
+    else:  # pragma: no cover
+        raise ValueError(variant)
     return f"""WITH {_E_CYC},
 {",".join(parts)},
 md AS ({md}),
-far AS (SELECT v, SUM(1.0 / d) AS f FROM md GROUP BY v)
-SELECT vt.vid,
-  ROUND(COALESCE(f.f, 0.0) / ((SELECT COUNT(*) FROM vx) - 1), 6) AS centrality
+far AS (SELECT v, {far} AS f FROM md GROUP BY v)
+SELECT vt.vid, {cent} AS centrality
 FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
+
+
+def _allpairs_depth_sql(levels: int = 8) -> str:
+    """Per-(source, vid) minimal BFS depths for the vid<64 sample —
+    the md CTE of the unrolled level-BFS, emitted directly."""
+    base = _closeness_sql(levels=levels)
+    head = base.split("far AS")[0].rstrip().rstrip(",")
+    return head + "\nSELECT s AS source, v AS vid, d AS depth FROM md"
 
 
 _WALK_STEPS = 6
@@ -1548,6 +1626,24 @@ walk AS (
 )
 SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
         "closeness_harmonic_sampled": _closeness_sql(levels=8),
+        "closeness_sampled": _closeness_sql(levels=8, variant="standard"),
+        "closeness_dangalchev_sampled": _closeness_sql(levels=8, variant="dangalchev"),
+        "allpairs_depth_sampled": _allpairs_depth_sql(levels=8),
+        "sssp_dijkstra": f"""WITH RECURSIVE {_E_WBIP},
+und AS (SELECT src AS a, dst AS b, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+walk AS (
+  SELECT (SELECT MIN(vid) FROM vertices) AS v, 0.0::DOUBLE AS d
+  UNION
+  SELECT u.b, walk.d + u.weight FROM walk JOIN und u ON u.a = walk.v
+  WHERE walk.d + u.weight <= 30
+)
+SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
+        "triangle_stream": f"""WITH {_E_BIP}, {_UND_COSUPP}
+SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
+FROM und e1
+JOIN und e2 ON e2.u = e1.v
+JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "betweenness_sampled": _betweenness_sql(levels=8),
         "yens_k_shortest": _yens_sql(),
         "random_walks": _random_walks_sql(),

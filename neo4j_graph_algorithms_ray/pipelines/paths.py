@@ -213,15 +213,14 @@ def dijkstra_numpy_oracle(
 # ----------------------------------------------------------------------
 # MSBFS + closeness family
 # ----------------------------------------------------------------------
-def msbfs_depth_waves(
+def _msbfs_bit_waves(
     graph: GraphTables,
     sources: np.ndarray,
     directed: bool = False,
 ):
-    """Yield (depth, new_bits_count_per_vertex) for successive BFS depths
-    over ≤64-source batches (bitmask ANP). ``new_bits_count_per_vertex``
-    is how many of the batch's sources first reached each vertex at that
-    depth."""
+    """Yield (batch_sources, depth, nz, bits) per BFS depth per ≤64-source
+    batch: ``nz`` are the dense vertex ids first reached at ``depth`` and
+    ``bits[i]`` the uint64 mask of which batch sources reached ``nz[i]``."""
     n = graph.n
     edges = graph.edges if directed else graph.edges_both()
     for lo in range(0, len(sources), 64):
@@ -262,14 +261,63 @@ def msbfs_depth_waves(
             depth += 1
             if not newbits.any():
                 break
-            counts = np.zeros(n, dtype=np.int64)
             nz = np.flatnonzero(newbits)
-            from ..stages.minhash import popcount64
-
-            counts[nz] = popcount64(newbits[nz])
-            yield depth, counts
+            yield batch_sources, depth, nz, newbits[nz]
             seen |= newbits
             frontier = newbits
+
+
+def msbfs_depth_waves(
+    graph: GraphTables,
+    sources: np.ndarray,
+    directed: bool = False,
+):
+    """Yield (depth, new_bits_count_per_vertex) for successive BFS depths
+    over ≤64-source batches (bitmask ANP). ``new_bits_count_per_vertex``
+    is how many of the batch's sources first reached each vertex at that
+    depth."""
+    from ..stages.minhash import popcount64
+
+    n = graph.n
+    for _srcs, depth, nz, bits in _msbfs_bit_waves(graph, sources, directed):
+        counts = np.zeros(n, dtype=np.int64)
+        counts[nz] = popcount64(bits)
+        yield depth, counts
+
+
+def msbfs_depth_table(
+    graph: GraphTables,
+    sources: np.ndarray,
+    directed: bool = False,
+) -> pa.Table:
+    """All-pairs BFS depths restricted to a source set: rows
+    ``(source, vid, depth)`` with original vids, one row per (s, v)
+    first reached at ``depth`` (the source itself is not emitted).
+    Reference MSBFS all-shortest-paths surface
+    (``core/.../msbfs/MultiSourceBFS.java`` ~L60 ANP traversal).
+    Output is O(|sources| · n) rows — callers bound the source set the
+    same way the sampled-closeness variants do."""
+    vids = graph.vids
+    out_s: list[np.ndarray] = []
+    out_v: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    for batch_sources, depth, nz, bits in _msbfs_bit_waves(graph, sources, directed):
+        for bit, s in enumerate(batch_sources):
+            hit = nz[(bits >> np.uint64(bit)) & np.uint64(1) == np.uint64(1)]
+            if len(hit):
+                out_s.append(np.full(len(hit), vids[s], dtype=np.int64))
+                out_v.append(vids[hit])
+                out_d.append(np.full(len(hit), depth, dtype=np.int64))
+    if not out_s:
+        z = np.empty(0, dtype=np.int64)
+        return pa.table({"source": z, "vid": z, "depth": z})
+    return pa.table(
+        {
+            "source": np.concatenate(out_s),
+            "vid": np.concatenate(out_v),
+            "depth": np.concatenate(out_d),
+        }
+    )
 
 
 def closeness_table(
