@@ -51,8 +51,11 @@ _BENCH_QUERIES = [
     "infomap_modules",
     "mst_total_weight",
     "delta_stepping_sssp",
+    "sssp_dijkstra",
     "betweenness_sampled",
     "closeness_harmonic_sampled",
+    "closeness_sampled",
+    "allpairs_depth_sampled",
     "link_prediction",
     "dedup_exact",
     "minhash_lsh_groups",
