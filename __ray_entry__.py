@@ -334,6 +334,12 @@ def _q_closeness(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_clean_corpus(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import clean_corpus
+
+    return clean_corpus(_docs(sf_dir), quality_threshold=0.5)
+
+
 def _q_closeness_standard(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.paths import closeness_table
 
@@ -727,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "lang_id_guess": _q_lang_id,
         "quality_scores": _q_quality,
+        "clean_corpus": _q_clean_corpus,
         "jaccard_sets_topk": _q_jaccard_sets,
         "overlap_sets_topk": _q_overlap_sets,
         "node2vec_walks": _q_node2vec_walks,
@@ -946,6 +953,66 @@ md AS ({md}),
 far AS (SELECT v, {far} AS f FROM md GROUP BY v)
 SELECT vt.vid, {cent} AS centrality
 FROM vx vt LEFT JOIN far f ON f.v = vt.vid"""
+
+
+def _clean_corpus_sql(threshold: float = 0.5) -> str:
+    """Composite cleaning pipeline oracle: chains the (individually
+    proven) lang_id_guess and quality_scores CTEs, filters on
+    lang-consistency + rounded quality ≥ threshold, exact-dedups the
+    survivors by full text with keeper = min doc_id."""
+    return rf"""WITH w AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(substr(text, 1, 2000)),
+                       '[\p{{L}}\p{{N}}_'']+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    {_lang_score_sql('en')} AS en, {_lang_score_sql('de')} AS de,
+    {_lang_score_sql('fr')} AS fr, {_lang_score_sql('es')} AS es
+  FROM w
+),
+lg AS (
+  SELECT doc_id, CASE
+    WHEN en >= 2 AND en >= de AND en >= fr AND en >= es THEN 'en'
+    WHEN de >= 2 AND de > en AND de >= fr AND de >= es THEN 'de'
+    WHEN fr >= 2 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+    WHEN es >= 2 AND es > en AND es > de AND es > fr THEN 'es'
+    ELSE 'other' END AS lang_guess
+  FROM s
+),
+b AS (
+  SELECT doc_id,
+    length(regexp_extract_all(text, '\S+')) AS n_tokens,
+    length(regexp_replace(text, '\s+', '', 'g')) AS total_len,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(text) AS n_chars,
+    len(list_filter(regexp_extract_all(text, '\S+'),
+        x -> list_contains({_en_stop_list()}, lower(x)))) AS sw
+  FROM documents
+),
+q AS (
+  SELECT doc_id, n_tokens,
+    ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+          + 0.4 * (CASE WHEN n_chars > 0
+                        THEN alpha::DOUBLE / n_chars ELSE 0.0 END)
+          + 0.2 * (CASE WHEN n_tokens > 0 AND sw > 0
+                        THEN 1 ELSE 0 END), 6) AS quality
+  FROM b
+),
+keep AS (
+  SELECT d.doc_id, d.text, lg.lang_guess, q.quality, q.n_tokens
+  FROM documents d
+  JOIN lg USING (doc_id) JOIN q USING (doc_id)
+  WHERE d.lang IN ('en', 'de', 'fr', 'es') AND q.quality >= {threshold}
+),
+ded AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+  FROM keep GROUP BY text
+)
+SELECT k.doc_id, k.lang_guess, k.quality, k.n_tokens,
+       ded.dup_count::BIGINT AS dup_count
+FROM ded JOIN keep k USING (doc_id)"""
 
 
 def _allpairs_depth_sql(levels: int = 8) -> str:
@@ -1796,6 +1863,7 @@ SELECT doc_id, n_tokens,
   ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0) + 0.4 * alpha_ratio
         + 0.2 * (stopword_ratio > 0)::INT, 6) AS quality
 FROM c""",
+        "clean_corpus": _clean_corpus_sql(threshold=0.5),
         "jaccard_sets_topk": _set_sim_sql("c / (sa.s + sb.s - c)", 0.4),
         "overlap_sets_topk": _set_sim_sql("c / LEAST(sa.s, sb.s)", 0.8),
         "mst_total_weight": _mst_sql(),

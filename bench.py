@@ -65,6 +65,7 @@ _BENCH_QUERIES = [
     # (~115 s of real work, DuckDB-comparable) — oracle-checked at
     # sf0.01 by the driver instead
     "token_stats",
+    "clean_corpus",
     "ann_topk",
     "lsh_topk",
     "ivf_topk",
