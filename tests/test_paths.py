@@ -123,3 +123,43 @@ def test_delta_stepping_matches_dijkstra():
     )
     got_u = delta_stepping(g, 0, delta=1.0, directed=False)
     np.testing.assert_allclose(got_u.distances, und, atol=1e-9)
+
+
+def test_msbfs_depth_table_matches_bfs():
+    # depth table per (source, vid) must agree with per-source BFS on a
+    # >64-vertex path graph (forces multiple bitmask batches)
+    from neo4j_graph_algorithms_ray.pipelines.paths import msbfs_depth_table
+
+    n = 70
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)  # path graph
+    sources = np.array([0, 3, 69])
+    t = msbfs_depth_table(g, sources, directed=False).to_pandas()
+    for s in sources:
+        ref = bfs_depths(GraphTables.from_arrays(
+            np.concatenate([src, dst]), np.concatenate([dst, src])), int(s))
+        got = t[t["source"] == s].set_index("vid")["depth"]
+        for v in range(n):
+            if v == s:
+                assert v not in got.index
+            else:
+                assert got.get(v, -1) == ref[v]
+
+
+def test_msbfs_depth_table_consistent_with_closeness():
+    # harmonic closeness recomputed from the depth table equals the
+    # closeness_table kernel (same wave generator, different fold)
+    from neo4j_graph_algorithms_ray.pipelines.paths import msbfs_depth_table
+
+    ids = names_to_ids("a b c d e")
+    src, dst = edge_arrays(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e")], ids
+    )
+    g = GraphTables.from_arrays(src, dst)
+    t = msbfs_depth_table(g, np.arange(g.n), directed=False).to_pandas()
+    har = t.groupby("vid").apply(lambda d: (1.0 / d["depth"]).sum()) / (g.n - 1)
+    ref = closeness_table(g, variant="harmonic").to_pandas()
+    np.testing.assert_allclose(
+        har.reindex(ref["vid"]).fillna(0).to_numpy(), ref["centrality"].to_numpy()
+    )
