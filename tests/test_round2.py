@@ -347,3 +347,37 @@ def test_catalog_utility_procedures():
     assert catalog.as_node(g, 1) == {"dense_id": 1, "vid": 9}
     with pytest.raises(KeyError):
         catalog.as_node(g, 2)
+
+
+def test_cli_job_entrypoint(tmp_path):
+    # `ray job submit` surface: edge parquet -> pipeline -> partitioned
+    # parquet sink + one JSON metrics line; second run skips the
+    # finished partition (resumable output)
+    import json
+
+    import duckdb
+
+    from neo4j_graph_algorithms_ray.__main__ import main
+
+    edges = tmp_path / "edges.parquet"
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (1,2),(2,3),(3,1),(3,4)) t(src,dst)) "
+        f"TO '{edges}' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "rank"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["pagerank", "--edges", str(edges), "--out", str(out)])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["vertices"] == 4 and m["edges"] == 4 and m["converged"]
+    assert (out / "_SUCCESS").exists()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["pagerank", "--edges", str(edges), "--out", str(out)])
+    m2 = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m2["sink_skipped"] == m["sink_partitions"]
