@@ -194,8 +194,17 @@ _DENSE_KERNEL_MAX_N = 4096
 
 
 def triangle_count(graph: GraphTables, kernel: str = "auto") -> TriangleResult:
-    """``kernel``: "auto" picks dense ≤4096 vertices, else the wedge
-    semi-join; "dense"/"wedge" force a path (tests assert agreement)."""
+    """``kernel``: "auto" picks dense ≤4096 vertices, the broadcast
+    wedge semi-join up to the single-task CSR ceiling, and the
+    fully-distributed bucketed kernel above it (O(n) driver state — no
+    whole-graph CSR broadcast at cluster scale);
+    "dense"/"wedge"/"bucketed" force a path (tests assert agreement)."""
+    from ..state.csr import SYM_CSR_SINGLE_TASK_MAX_M
+
+    if kernel == "bucketed" or (
+        kernel == "auto" and graph.m > SYM_CSR_SINGLE_TASK_MAX_M
+    ):
+        return triangle_count_bucketed(graph)
     t0 = time.perf_counter()
     n = graph.n
     u, v = canonical_undirected(graph)

@@ -83,3 +83,23 @@ def test_triangles_zipf_hub():
     key = np.unique(u[keep] * n + v[keep])
     oracle = triangle_count_numpy_oracle(key // n, key % n, n)
     np.testing.assert_array_equal(res.triangles, oracle)
+
+
+def test_triangle_kernels_agree_including_bucketed():
+    # kernel="bucketed" (the auto path above the single-task CSR
+    # ceiling) must match dense and wedge exactly
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 200, 1500).astype(np.int64)
+    dst = rng.integers(0, 200, 1500).astype(np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    a = triangle_count(g, kernel="dense")
+    b = triangle_count(g, kernel="wedge")
+    c = triangle_count(g, kernel="bucketed")
+    assert a.triangle_count == b.triangle_count == c.triangle_count
+    np.testing.assert_array_equal(a.triangles, b.triangles)
+    np.testing.assert_array_equal(a.triangles, c.triangles)
