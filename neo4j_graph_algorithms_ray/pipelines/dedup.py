@@ -218,14 +218,30 @@ def minhash_lsh_neardup(
     per-row Python loops); explode to (band_id, band_hash, doc_id,
     signature); hash-repartition on band_hash; per-block bucket scan
     emits candidate pairs verified by signature-estimated Jaccard ≥
-    threshold. Buckets larger than ``max_bucket`` are skipped — a
-    degenerate band hash would otherwise emit O(B²) pairs (same
-    heavy-key stop as corpus.py's ``max_group_size``). Groups come from
-    distributed WCC over the pair Dataset.
+    threshold. Buckets larger than ``max_bucket`` emit a consecutive
+    CHAIN of O(B) pairs instead of all O(B²) — a true giant duplicate
+    cluster stays connected through the WCC transitive closure (every
+    chain link passes verification) while a degenerate band hash is
+    killed by the per-pair verification anyway (same heavy-key stop
+    idea as corpus.py's ``max_group_size``). Groups come from
+    distributed WCC over the pair Dataset. NOTE: the ``oracle_sql``
+    recomputation models the uncapped all-pairs semantics; the two
+    agree whenever no bucket exceeds ``max_bucket`` (always true at
+    driver-check scale) and stay group-equivalent on genuine duplicate
+    clusters at scale.
     """
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64)
+        if not len(ids):  # empty block from an upstream filter
+            return pd.DataFrame(
+                {
+                    "band_id": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "sig": pd.Series([], dtype=object),
+                }
+            )
         sigs = np.stack(
             [
                 minhash_signature(char_shingles_u64(t), num_perm)
@@ -270,7 +286,8 @@ def minhash_lsh_neardup(
         ends = np.append(starts[1:], len(bid))
         lens = ends - starts
         pick = (lens >= 2) & (lens <= max_bucket)
-        if not pick.any():
+        over = lens > max_bucket
+        if not pick.any() and not over.any():
             return empty
         # one decode of every signature (row-major uint64 matrix), then
         # pair indices generated per bucket-SIZE class — a handful of
@@ -284,6 +301,16 @@ def minhash_lsh_neardup(
             ii, jj = np.triu_indices(int(L), 1)
             I_parts.append((s_L[:, None] + ii[None, :]).ravel())
             J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        # oversized buckets (degenerate band hash or a giant duplicate
+        # cluster): consecutive-pair CHAIN instead of all pairs — O(B)
+        # verified links keep the group connected through the WCC
+        # transitive closure while bounding the O(B²) blowup the cap
+        # exists for (previously these buckets were dropped outright —
+        # zero recall on >max_bucket boilerplate clusters)
+        for s, e in zip(starts[over], ends[over]):
+            idx = np.arange(s, e - 1)
+            I_parts.append(idx)
+            J_parts.append(idx + 1)
         I = np.concatenate(I_parts)
         J = np.concatenate(J_parts)
         out = []
@@ -328,7 +355,9 @@ def simhash_neardup(
 ) -> NearDupResult:
     """SimHash near-dup: 4 16-bit bands (any ≤3-bit-different pair shares
     ≥1 exact band), bucket scan verifies true Hamming distance. Same
-    bucket-cap + pair-Dataset + distributed-WCC assembly as minhash."""
+    bucket-cap-with-chain + pair-Dataset + distributed-WCC assembly as
+    minhash (oversized buckets contribute O(B) consecutive chained
+    pairs, each still Hamming-verified)."""
     from ..stages.minhash import simhash64
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
@@ -370,7 +399,8 @@ def simhash_neardup(
         ends = np.append(starts[1:], len(bid))
         lens = ends - starts
         pick = (lens >= 2) & (lens <= max_bucket)
-        if not pick.any():
+        over = lens > max_bucket
+        if not pick.any() and not over.any():
             return empty
         I_parts, J_parts = [], []
         for L in np.unique(lens[pick]):
@@ -378,6 +408,11 @@ def simhash_neardup(
             ii, jj = np.triu_indices(int(L), 1)
             I_parts.append((s_L[:, None] + ii[None, :]).ravel())
             J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        # oversized buckets: consecutive-pair chain (see minhash above)
+        for s, e in zip(starts[over], ends[over]):
+            idx = np.arange(s, e - 1)
+            I_parts.append(idx)
+            J_parts.append(idx + 1)
         I = np.concatenate(I_parts)
         J = np.concatenate(J_parts)
         out = []

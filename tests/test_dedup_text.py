@@ -98,6 +98,23 @@ def test_neardup_single_task_and_shuffle_paths_agree(monkeypatch):
     )
 
 
+def test_oversized_bucket_chains_stay_one_group():
+    # a duplicate cluster LARGER than max_bucket must still come out as
+    # one connected group (consecutive-chain pairs, not dropped)
+    base = "the quick brown fox jumps over the lazy dog and runs away " * 5
+    texts = [base] * 12 + ["completely different ray data arrow text " * 6]
+    docs = _docs(texts)
+    res = minhash_lsh_neardup(docs, threshold=0.5, max_bucket=4)
+    groups = dict(zip(res.groups["doc_id"], res.groups["group_id"]))
+    assert {groups.get(i) for i in range(12)} == {0}
+    assert 12 not in groups
+    # chain emits O(B) pairs per oversized bucket, far below all-pairs
+    assert len(res.pairs) < 16 * 12 * 11 / 2
+    s = simhash_neardup(docs, max_bucket=4)
+    sg = dict(zip(s.groups["doc_id"], s.groups["group_id"]))
+    assert {sg.get(i) for i in range(12)} == {0}
+
+
 def test_simhash_neardup_exact_duplicates():
     docs = _docs(["hello world foo bar baz", "hello world foo bar baz", "zzz qqq"])
     res = simhash_neardup(docs)
