@@ -104,6 +104,16 @@ def _q_wcc(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids, "component": res.components})
 
 
+def _q_wcc_stats(sf_dir: str) -> pa.Table:
+    """Reference UnionFindProc WriteResult surface: setCount + discrete
+    percentiles of component sizes (AbstractCommunityResultBuilder)."""
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+    from neo4j_graph_algorithms_ray.pipelines.stats import size_percentiles
+
+    g = _graph(sf_dir, "bipartite")
+    return size_percentiles(wcc(g).components)
+
+
 def _q_wcc_setcount(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.components import wcc
 
@@ -309,6 +319,142 @@ def _q_lang_id(sf_dir: str) -> Any:
     return language_id(_docs(sf_dir))
 
 
+def _q_repetition_stats(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def _q_top_ngrams(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import top_ngrams
+
+    return top_ngrams(_docs(sf_dir), k=20)
+
+
+def _q_stratified_sample(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.sampling import stratified_sample
+
+    return stratified_sample(_docs(sf_dir), cap=20)
+
+
+def _q_rebalance_weights(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.sampling import rebalance_weights
+
+    return rebalance_weights(_docs(sf_dir), alpha=0.3)
+
+
+def _q_events_asof(sf_dir: str) -> Any:
+    """As-of attribution: each purchase event joined to the latest
+    prior-or-equal signup event of the same user (backward inclusive —
+    DuckDB ``ASOF JOIN`` semantics). Emits matched rows only, with the
+    signup→purchase lag in microseconds."""
+    from neo4j_graph_algorithms_ray.pipelines.joins import asof_join
+
+    ev = _events(sf_dir)
+
+    def pick(etype: str, payload):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == etype]
+            out = pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy(np.int64), "ts": df["ts"].to_numpy()}
+            )
+            for name, col in payload.items():
+                if col == "__ts_us":
+                    out[name] = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                else:
+                    out[name] = df[col].to_numpy()
+            return out
+
+        return f
+
+    left = ev.map_batches(
+        pick("purchase", {"event_id": "event_id", "value": "value"}),
+        batch_format="pandas",
+    )
+    right = ev.map_batches(
+        pick("signup", {"signup_value": "value", "r_ts_us": "__ts_us"}),
+        batch_format="pandas",
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        left_cols=["event_id", "value"],
+        right_cols=["signup_value", "r_ts_us"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["signup_value"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+                "signup_value": df["signup_value"].to_numpy(np.float64),
+                "lag_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                - df["r_ts_us"].to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _q_pack_sequences(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=256)
+
+
+def _q_decontaminate(sf_dir: str) -> Any:
+    """GPT-3-style 8-gram decontamination with a deterministic in-corpus
+    benchmark split (doc_id % 97): no external eval data exists in the
+    sandbox, so the 'benchmark' is the 1/97 slice and the corpus is the
+    rest — the overlap machinery is what's under test."""
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def split(keep_bench: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["doc_id"] % 97 == 0) == keep_bench
+            return df[m].reset_index(drop=True)
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pandas")
+    corpus = docs.map_batches(split(False), batch_format="pandas")
+    return decontaminate(corpus, bench, n=8)
+
+
+def _q_pii_scrub(sf_dir: str) -> Any:
+    """The synthetic corpus contains no PII, so both sides append the
+    SAME deterministic PII suffix (email/url/ip/phone derived from
+    doc_id) before scrubbing — the masking pass then genuinely fires on
+    every row and the oracle compares scrubbed text + per-type counts."""
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import pii_scrub
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        s = i.astype(str)
+        return pd.DataFrame(
+            {
+                "doc_id": i.to_numpy(np.int64),
+                "text": df["text"]
+                + " u"
+                + s
+                + "@ex.com http://h/"
+                + s
+                + " 10.0.0."
+                + (i % 256).astype(str)
+                + " 555-000-"
+                + (i % 10000).astype(str).str.zfill(4),
+            }
+        )
+
+    return pii_scrub(_docs(sf_dir).map_batches(inject, batch_format="pandas"))
+
+
 def _q_quality(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.text_analysis import quality_scores
 
@@ -381,6 +527,28 @@ def _q_sssp_dijkstra(sf_dir: str) -> pa.Table:
     return pa.table(
         {"vid": g.vids[keep], "distance": np.round(res.distances[keep], 6)}
     )
+
+
+def _q_weighted_allpairs(sf_dir: str) -> Any:
+    """Weighted all-pairs (reference algo.allShortestPaths.stream) from
+    a deterministic vid<8 source subset, cost-capped at 30 so the
+    recursive-SQL oracle's bounded walk is exact (any prefix of an
+    optimal path costs <= the cap; weights are integer counts so
+    ROUND(...,6) is lossless on both sides)."""
+    from neo4j_graph_algorithms_ray.pipelines.paths import weighted_allpairs_table
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    sources = np.flatnonzero(g.vids < 8)
+    ds = weighted_allpairs_table(g, sources=sources, directed=False, max_distance=30.0)
+
+    def r6(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("distance"),
+            "distance",
+            pa.array(np.round(t["distance"].to_numpy(zero_copy_only=False), 6)),
+        )
+
+    return ds.map_batches(r6, batch_format="pyarrow")
 
 
 def _q_triangle_stream(sf_dir: str) -> Any:
@@ -687,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_pagerank_10": _q_top_pagerank_10,
         "wcc": _q_wcc,
         "wcc_setcount": _q_wcc_setcount,
+        "wcc_component_stats": _q_wcc_stats,
         "lpa_k3": _q_lpa_k3,
         "lpa_seeded_k3": _q_lpa_seeded,
         "scc": _q_scc,
@@ -699,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_dangalchev_sampled": _q_closeness_dangalchev,
         "allpairs_depth_sampled": _q_allpairs_depth,
         "sssp_dijkstra": _q_sssp_dijkstra,
+        "weighted_allpairs_sampled": _q_weighted_allpairs,
         "triangle_stream": _q_triangle_stream,
         "betweenness_sampled": _q_betweenness,
         "pagerank_weighted_k5": _q_pagerank_weighted_k5,
@@ -737,6 +907,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_sets_topk": _q_jaccard_sets,
         "overlap_sets_topk": _q_overlap_sets,
         "node2vec_walks": _q_node2vec_walks,
+        "repetition_stats": _q_repetition_stats,
+        "top_ngrams": _q_top_ngrams,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate_8gram": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
+        "events_asof_attribution": _q_events_asof,
+        "rebalance_weights": _q_rebalance_weights,
     }
 
 
@@ -1505,6 +1683,22 @@ lbl AS (
 ),
 comp AS (SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid)
 SELECT COUNT(DISTINCT component) AS set_count FROM comp""",
+        "wcc_component_stats": f"""WITH RECURSIVE {_E_BIP},
+und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lbl AS (
+  SELECT vid, vid AS label FROM vertices
+  UNION
+  SELECT u.b AS vid, l.label FROM lbl l JOIN und u ON u.a = l.vid
+),
+comp AS (SELECT vid, MIN(label) AS component FROM lbl GROUP BY vid),
+sizes AS (SELECT component, COUNT(*)::BIGINT AS s FROM comp GROUP BY component),
+nc AS (SELECT COUNT(*)::BIGINT AS c FROM sizes),
+ranked AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM sizes)
+SELECT 'p' || q::VARCHAR AS stat, MIN(s)::BIGINT AS value
+FROM ranked, (VALUES (1),(5),(10),(25),(50),(75),(90),(95),(99),(100)) t(q), nc
+WHERE rn >= GREATEST(CEIL(q * nc.c / 100.0), 1)
+GROUP BY q
+UNION ALL SELECT 'set_count', c FROM nc""",
         "lpa_k3": f"WITH {_E_BIP}, {_lpa_cte(3)} SELECT vid, label FROM l3",
         "lpa_seeded_k3": f"""WITH {_E_BIP}, {_lpa_cte(3, l0='''
   SELECT v.vid, COALESCE(c.c_nationkey + 1000, v.vid) AS label
@@ -1631,6 +1825,113 @@ FROM member GROUP BY vid""",
   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
 FROM documents""",
         "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+        "repetition_stats": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM w
+), wc AS (
+  SELECT doc_id, l[i] AS wd, COUNT(*) AS c FROM pos GROUP BY doc_id, wd
+), per AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_words, COUNT(*)::BIGINT AS n_distinct,
+         MAX(c)::BIGINT AS maxc
+  FROM wc GROUP BY doc_id
+), bgc AS (
+  SELECT doc_id, MAX(c)::BIGINT AS maxbg FROM (
+    SELECT doc_id, l[i] || ' ' || l[i + 1] AS bg, COUNT(*) AS c
+    FROM pos WHERE i < len(l) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_words,
+  ROUND((p.n_words - p.n_distinct) / GREATEST(p.n_words, 1)::DOUBLE, 6) AS dup_word_frac,
+  ROUND(p.maxc / GREATEST(p.n_words, 1)::DOUBLE, 6) AS top_word_frac,
+  ROUND(COALESCE(b.maxbg, 0) / GREATEST(p.n_words - 1, 1)::DOUBLE, 6) AS top_bigram_frac
+FROM per p LEFT JOIN bgc b USING (doc_id)""",
+        "top_ngrams": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM w
+), big AS (
+  SELECT l[i] || ' ' || l[i + 1] AS ngram FROM pos
+)
+SELECT ngram, COUNT(*)::BIGINT AS cnt FROM big
+GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
+        "stratified_sample": """WITH h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20""",
+        "rebalance_weights": """WITH c AS (
+  SELECT lang, COUNT(*)::DOUBLE AS n_s FROM documents GROUP BY lang
+), tot AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+SELECT d.doc_id, d.lang, ROUND(POWER(c.n_s / tot.n, -0.7), 6) AS weight
+FROM documents d JOIN c USING (lang) CROSS JOIN tot""",
+        "events_asof_attribution": """WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, MAX(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.value, r.signup_value,
+  (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS lag_us
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "pack_sequences": r"""WITH t AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0)::BIGINT AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+  (tok_offset // 256)::BIGINT AS bin_id,
+  (tok_offset % 256)::BIGINT AS bin_pos
+FROM o""",
+        "decontaminate_8gram": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, array_to_string(l[i : i + 7], ' ') AS ngram
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i FROM w)
+), bench AS (
+  SELECT DISTINCT ngram FROM pos WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT p.doc_id, COUNT(b.ngram)::BIGINT AS n_contaminated
+  FROM pos p LEFT JOIN bench b USING (ngram)
+  WHERE p.doc_id % 97 <> 0 GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+  GREATEST(len(string_split(d.text, ' ')) - 7, 0)::BIGINT AS n_ngrams,
+  COALESCE(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+  (COALESCE(h.n_contaminated, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0""",
+        "pii_scrub": """WITH t0 AS (
+  SELECT doc_id,
+    text || ' u' || doc_id || '@ex.com http://h/' || doc_id ||
+    ' 10.0.0.' || (doc_id % 256) ||
+    ' 555-000-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+    regexp_replace(text, 'https?://[^ ]+', '[URL]', 'g') AS text FROM t0
+), s2 AS (
+  SELECT doc_id, n_url,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text FROM s1
+), s3 AS (
+  SELECT doc_id, n_url, n_email,
+    len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+    regexp_replace(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text FROM s2
+)
+SELECT doc_id, n_url, n_email, n_ipv4,
+  len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT AS n_phone,
+  regexp_replace(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS text
+FROM s3""",
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "euclidean_topk": """WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
@@ -1706,6 +2007,17 @@ walk AS (
   WHERE walk.d + u.weight <= 30
 )
 SELECT v AS vid, ROUND(MIN(d), 6) AS distance FROM walk GROUP BY v""",
+        "weighted_allpairs_sampled": f"""WITH RECURSIVE {_E_WBIP},
+und AS (SELECT src AS a, dst AS b, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+walk AS (
+  SELECT v.vid AS s, v.vid AS t, 0.0::DOUBLE AS d FROM vertices v WHERE v.vid < 8
+  UNION
+  SELECT walk.s, u.b, walk.d + u.weight FROM walk JOIN und u ON u.a = walk.t
+  WHERE walk.d + u.weight <= 30
+)
+SELECT s AS source, t AS target, ROUND(MIN(d), 6) AS distance
+FROM walk WHERE t <> s GROUP BY s, t""",
         "triangle_stream": f"""WITH {_E_BIP}, {_UND_COSUPP}
 SELECT e1.u AS node_a, e1.v AS node_b, e2.v AS node_c
 FROM und e1

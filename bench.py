@@ -56,6 +56,7 @@ _BENCH_QUERIES = [
     "closeness_harmonic_sampled",
     "closeness_sampled",
     "allpairs_depth_sampled",
+    "weighted_allpairs_sampled",
     "link_prediction",
     "dedup_exact",
     "minhash_lsh_groups",
@@ -66,6 +67,14 @@ _BENCH_QUERIES = [
     # sf0.01 by the driver instead
     "token_stats",
     "clean_corpus",
+    "repetition_stats",
+    "top_ngrams",
+    "stratified_sample",
+    "decontaminate_8gram",
+    "pii_scrub",
+    "pack_sequences",
+    "events_asof_attribution",
+    "rebalance_weights",
     "ann_topk",
     "lsh_topk",
     "ivf_topk",
@@ -178,8 +187,13 @@ def run_queries() -> dict:
         fn = qs[name]
         t0 = time.perf_counter()
         res = fn(SF_DIR)
-        # consume lazy datasets so the timing is real
-        if hasattr(res, "count") and not hasattr(res, "columns"):
+        # consume lazy datasets so the timing is real (NOTE: must be an
+        # isinstance check — Ray Dataset has BOTH .count and .columns,
+        # so the old duck-type test never executed Dataset results and
+        # under-reported every Dataset-returning query)
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
             res.count()
         out[name] = round(time.perf_counter() - t0, 3)
     return out

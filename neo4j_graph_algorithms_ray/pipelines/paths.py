@@ -352,6 +352,92 @@ def closeness_table(
 # ----------------------------------------------------------------------
 # betweenness (Brandes) — per-source tasks over broadcast CSR
 # ----------------------------------------------------------------------
+def weighted_allpairs_table(
+    graph: GraphTables,
+    sources: Optional[np.ndarray] = None,
+    directed: bool = True,
+    max_distance: Optional[float] = None,
+) -> "rd.Dataset":
+    """Weighted all-pairs shortest paths (reference
+    ``algo.allShortestPaths.stream``, ``impl/AllShortestPaths.java``
+    ~L60 — a thread pool of per-source Dijkstras; the unweighted case
+    is covered by :func:`msbfs_depth_table`). Emits one row per finite
+    (source, target) pair, target ≠ source:
+    ``(source, target, distance)`` in original vid space.
+
+    Dataflow: the weighted CSR (parallel edges deduped to min weight,
+    matching Dijkstra semantics) is assembled ONCE in a worker task and
+    shared via plasma; ``sources`` (dense indices; default all) fan out
+    as Ray Data blocks, each task runs vectorized Bellman-Ford rounds
+    per source — O(rounds·m) numpy scatter-mins, no per-edge Python.
+    All-pairs is inherently O(|sources|·m); sample sources at scale
+    (the reference's own guidance) or use :func:`delta_stepping` for
+    one source. ``max_distance`` drops rows with longer distances
+    (mirrors a cost-bounded recursive-SQL oracle exactly).
+    """
+    from ..state.csr import build_csr_ref
+    from ..state.partitioning import cluster_cpus
+
+    n = graph.n
+    csr_ref = build_csr_ref(
+        graph, directed=directed, weighted=True, dedup_parallel_min=True
+    )
+    if sources is None:
+        sources = np.arange(n)
+    sources = np.asarray(sources, dtype=np.int64)
+    vids_ref = ray.put(graph.vids)
+    src_ds = rd.from_arrow(pa.table({"s": sources}))
+
+    def partial(
+        batch: pa.Table, _csr=csr_ref, _vids=vids_ref, _n=n, _cap=max_distance
+    ) -> pa.Table:
+        ip, nb, w = ray.get(_csr)
+        vids = ray.get(_vids)
+        si = np.repeat(np.arange(_n, dtype=np.int64), np.diff(ip))
+        out_s, out_t, out_d = [], [], []
+        for s in batch["s"].to_numpy(zero_copy_only=False):
+            dist = np.full(_n, np.inf)
+            dist[int(s)] = 0.0
+            while True:
+                cand = dist[si] + w
+                ok = cand < dist[nb]
+                if not ok.any():
+                    break
+                idx, mins = group_min(nb[ok], cand[ok])
+                new = dist.copy()
+                new[idx] = np.minimum(new[idx], mins)
+                dist = new
+            t = np.flatnonzero(np.isfinite(dist))
+            t = t[t != int(s)]
+            d = dist[t]
+            if _cap is not None:
+                keep = d <= _cap
+                t, d = t[keep], d[keep]
+            out_s.append(np.full(len(t), vids[int(s)], dtype=np.int64))
+            out_t.append(vids[t].astype(np.int64))
+            out_d.append(d)
+        if not out_s:
+            return pa.table(
+                {
+                    "source": np.empty(0, np.int64),
+                    "target": np.empty(0, np.int64),
+                    "distance": np.empty(0, np.float64),
+                }
+            )
+        return pa.table(
+            {
+                "source": np.concatenate(out_s),
+                "target": np.concatenate(out_t),
+                "distance": np.concatenate(out_d),
+            }
+        )
+
+    width = max(1, min(len(sources), 4 * cluster_cpus()))
+    return src_ds.repartition(width).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _expand_frontier(indptr, nbrs, frontier: np.ndarray):
     """Vectorized CSR slice-gather: (src, tgt) edge pairs leaving
     ``frontier`` — no per-vertex Python loop."""

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from ..stages.text import (
@@ -71,6 +72,246 @@ def fingerprints(docs: "rd.Dataset", id_col="doc_id", text_col="text") -> "rd.Da
                 "fingerprint": fingerprint64(df[text_col]),
             }
         )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def repetition_stats(
+    docs: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "rd.Dataset":
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 repetition filters): per doc —
+
+      n_words          words (single-space split, mirrors SQL
+                       ``string_split(text, ' ')`` exactly),
+      dup_word_frac    fraction of word occurrences that are repeats
+                       (1 − distinct/total),
+      top_word_frac    most-frequent word count / total words,
+      top_bigram_frac  most-frequent word-bigram count / (total − 1).
+
+    Fractions rounded half-away to 6 decimals (DuckDB ROUND parity).
+    Entirely batch-local: one exploded (doc, word) frame per batch
+    folded by C-level pandas groupbys — no shuffle, no per-row Python.
+    """
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        if not len(ids):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_words": pd.Series([], dtype="int64"),
+                    "dup_word_frac": pd.Series([], dtype="float64"),
+                    "top_word_frac": pd.Series([], dtype="float64"),
+                    "top_bigram_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        words = df[text_col].str.split(" ")
+        counts = words.str.len().to_numpy(np.int64)
+        drep = np.repeat(np.arange(len(ids)), counts)
+        allw = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        wc = (
+            pd.DataFrame({"d": drep, "w": allw})
+            .groupby(["d", "w"], sort=False)
+            .size()
+        )
+        g = wc.groupby(level=0, sort=False)
+        distinct = np.zeros(len(ids), dtype=np.int64)
+        maxc = np.zeros(len(ids), dtype=np.int64)
+        distinct[g.size().index] = g.size().to_numpy()
+        maxc[g.max().index] = g.max().to_numpy()
+        # consecutive bigrams: shift-by-one pairs within the same doc
+        same = drep[:-1] == drep[1:]
+        maxbg = np.zeros(len(ids), dtype=np.int64)
+        if same.any():
+            bg = (
+                pd.Series(allw[:-1][same]).str.cat(
+                    pd.Series(allw[1:][same]), sep=" "
+                )
+            )
+            bc = (
+                pd.DataFrame({"d": drep[:-1][same], "b": bg.to_numpy()})
+                .groupby(["d", "b"], sort=False)
+                .size()
+            )
+            bm = bc.groupby(level=0, sort=False).max()
+            maxbg[bm.index] = bm.to_numpy()
+        nw = np.maximum(counts, 1)
+
+        def r6(x: np.ndarray) -> np.ndarray:
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_words": counts,
+                "dup_word_frac": r6((counts - distinct) / nw),
+                "top_word_frac": r6(maxc / nw),
+                "top_bigram_frac": r6(maxbg / np.maximum(counts - 1, 1)),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def top_ngrams(
+    docs: "rd.Dataset",
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Corpus-wide top-k word bigrams (vocabulary/phrase-frequency
+    builder). Per-batch PARTIAL counts (pandas groupby — the shuffle
+    carries one row per distinct bigram per batch, not one per
+    occurrence) → ``groupby(ngram).sum`` → sort (count desc, ngram
+    asc) → limit k. The final sorted table is k rows; everything wide
+    stays pre-aggregated."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"ngram": pd.Series([], dtype="object"),
+             "cnt": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        words = df[text_col].str.split(" ")
+        counts = words.str.len().to_numpy(np.int64)
+        drep = np.repeat(np.arange(len(df)), counts)
+        allw = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        same = drep[:-1] == drep[1:]
+        if not same.any():
+            return empty
+        bg = pd.Series(allw[:-1][same]).str.cat(
+            pd.Series(allw[1:][same]), sep=" "
+        )
+        out = bg.value_counts(sort=False).reset_index()
+        out.columns = ["ngram", "cnt"]
+        return out.astype({"cnt": "int64"})
+
+    from ..state.partitioning import shuffle_width
+
+    agg = (
+        docs.map_batches(partial, batch_format="pandas")
+        # bound the hash-aggregate width: Ray's default is 200
+        # partitions / 64 aggregator actors, pure overhead below
+        # hundreds of blocks
+        .groupby("ngram", num_partitions=shuffle_width())
+        .sum("cnt")
+    )
+    agg = agg.rename_columns({"sum(cnt)": "cnt"})
+    return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+def _ngram_hashes(df: pd.DataFrame, text_col: str, n: int):
+    """Per-batch word n-gram extraction: returns (doc_index_per_ngram,
+    uint64 hash per n-gram, n_words per doc). Single-space split to
+    mirror SQL ``string_split(text, ' ')``; the hash is pandas'
+    fixed-key siphash (process-independent, vectorized)."""
+    words = df[text_col].str.split(" ")
+    counts = words.str.len().to_numpy(np.int64)
+    if not counts.sum():
+        return np.empty(0, np.int64), np.empty(0, np.uint64), counts
+    drep = np.repeat(np.arange(len(df)), counts)
+    allw = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    m = len(allw) - (n - 1)
+    if m <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), counts
+    # a window is a real n-gram only if it stays inside one doc
+    ok = drep[: m] == drep[n - 1 :]
+    s = pd.Series(allw[:m][ok])
+    for k in range(1, n):
+        s = s.str.cat(pd.Series(allw[k : m + k][ok]), sep=" ")
+    return drep[:m][ok], pd.util.hash_array(s.to_numpy()), counts
+
+
+def decontaminate(
+    docs: "rd.Dataset",
+    benchmark: "rd.Dataset",
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Benchmark decontamination (the GPT-3 appendix-C / Gopher n-gram
+    overlap filter): flag training docs sharing any word ``n``-gram
+    with an evaluation ``benchmark`` corpus. Emits one row per corpus
+    doc: ``(doc_id, n_ngrams, n_contaminated, contaminated)`` where
+    ``n_contaminated`` counts n-gram POSITIONS that hit the benchmark
+    set and ``contaminated`` is the 0/1 cut (any hit).
+
+    Dataflow: the benchmark side is small by definition (eval sets are
+    thousands of docs, not terabytes), so its distinct n-gram hashes
+    are folded per batch, uniqued, and broadcast once via ``ray.put``;
+    the corpus side streams through one ``map_batches`` doing a
+    ``searchsorted`` membership probe — no shuffle touches the corpus.
+    64-bit hash collisions are the usual negligible caveat.
+    """
+    bench_sorted = np.unique(
+        np.concatenate(
+            [
+                b["h"].to_numpy(np.uint64)
+                for b in benchmark.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"h": np.unique(_ngram_hashes(df, text_col, n)[1])}
+                    ),
+                    batch_format="pandas",
+                ).iter_batches(batch_format="pandas")
+            ]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    def probe(df: pd.DataFrame, _b=bench_ref) -> pd.DataFrame:
+        bench = ray.get(_b)
+        drep, h, counts = _ngram_hashes(df, text_col, n)
+        member = np.zeros(len(h), dtype=bool)
+        if len(h) and len(bench):
+            pos = np.searchsorted(bench, h)
+            inb = pos < len(bench)
+            member[inb] = bench[pos[inb]] == h[inb]
+        hits = np.bincount(drep, weights=member, minlength=len(df)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(np.int64),
+                "n_ngrams": np.maximum(counts - (n - 1), 0),
+                "n_contaminated": hits,
+                "contaminated": (hits > 0).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pandas")
+
+
+# masks applied in this fixed order (URL first so its userinfo@host
+# form is not half-eaten by the email pass); RE2-compatible so the
+# DuckDB regexp_replace oracle runs the identical patterns
+PII_PATTERNS = (
+    ("url", r"https?://[^ ]+", "[URL]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(
+    docs: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "rd.Dataset":
+    """PII masking pass for training-data curation: replaces URLs,
+    emails, IPv4 addresses and phone numbers with typed mask tokens and
+    counts each category. Emits ``(doc_id, text, n_url, n_email,
+    n_ipv4, n_phone)``. Pure batch-local vectorized ``str.replace`` /
+    ``str.count`` — streams, no shuffle. Patterns are anchored to the
+    RE2 subset so the SQL oracle (`regexp_replace(..., 'g')`) is
+    bit-identical."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df[id_col].to_numpy(np.int64)})
+        text = df[text_col]
+        for name, pat, repl in PII_PATTERNS:
+            out[f"n_{name}"] = text.str.count(pat).to_numpy(np.int64)
+            text = text.str.replace(pat, repl, regex=True)
+        out.insert(1, "text", text.to_numpy())
+        return out
 
     return docs.map_batches(f, batch_format="pandas")
 

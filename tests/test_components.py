@@ -99,3 +99,16 @@ def test_scc_dag_all_singletons():
     res = scc(g)
     assert res.set_count == 4
     np.testing.assert_array_equal(res.components, np.arange(4))
+
+
+def test_size_percentiles_discrete_order_stats():
+    from neo4j_graph_algorithms_ray.pipelines.stats import size_percentiles
+
+    # labels -> group sizes [1, 2, 3, 4]
+    labels = np.array([0, 1, 1, 2, 2, 2, 3, 3, 3, 3])
+    t = size_percentiles(labels).to_pandas().set_index("stat")["value"]
+    assert t["set_count"] == 4
+    assert t["p100"] == 4
+    assert t["p50"] == 2  # rank ceil(0.5*4)=2 -> sorted sizes [1,2,3,4][1]
+    assert t["p1"] == 1
+    assert t["p75"] == 3

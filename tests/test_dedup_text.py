@@ -152,3 +152,150 @@ def test_fingerprint_deterministic_and_shift_stable():
     f1 = fingerprints(docs1).to_pandas()["fingerprint"]
     f2 = fingerprints(docs2).to_pandas()["fingerprint"]
     pd.testing.assert_series_equal(f1, f2)
+
+
+def test_repetition_stats_hand_checked():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import repetition_stats
+
+    docs = _docs(
+        [
+            "a b a b a",          # 5 words, 2 distinct, top word a=3, top bigram "a b"=2 of 4
+            "x y z",              # no repetition
+            "w",                  # single word, no bigrams
+        ]
+    )
+    out = repetition_stats(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [5, 3, 1]
+    assert out["dup_word_frac"].tolist() == [0.6, 0.0, 0.0]
+    assert out["top_word_frac"].tolist() == [0.6, round(1 / 3, 6), 1.0]
+    assert out["top_bigram_frac"].tolist() == [0.5, 0.5, 0.0]
+
+
+def test_top_ngrams_counts_and_order():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import top_ngrams
+
+    docs = _docs(["a b a b c", "a b x", "q r"])
+    out = top_ngrams(docs, k=3).to_pandas()
+    assert out.iloc[0].tolist() == ["a b", 3]
+    # ties broken by ngram ascending
+    assert out["cnt"].is_monotonic_decreasing
+    assert len(out) == 3
+
+
+def test_stratified_sample_cap_and_determinism():
+    from neo4j_graph_algorithms_ray.pipelines.sampling import (
+        _sample_hash,
+        stratified_sample,
+    )
+
+    n = 100
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["t"] * n,
+            "lang": ["en" if i % 3 else "fr" for i in range(n)],
+        }
+    )
+    docs = rd.from_pandas(df).repartition(7)  # selection must not depend on blocking
+    out = stratified_sample(docs, cap=10).to_pandas().sort_values("doc_id")
+    assert (out.groupby("lang").size() == 10).all()
+    # matches the SQL ROW_NUMBER definition exactly
+    df["hv"] = _sample_hash(df["doc_id"].to_numpy())
+    expect = (
+        df.sort_values(["hv", "doc_id"]).groupby("lang").head(10)["doc_id"]
+    )
+    assert set(out["doc_id"]) == set(expect)
+
+
+def test_decontaminate_flags_exact_ngram_overlap():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import decontaminate
+
+    bench = _docs(["q1 q2 q3 q4 q5 q6 q7 q8 tail"])
+    corpus = _docs(
+        [
+            "x q1 q2 q3 q4 q5 q6 q7 q8 y",   # contains the benchmark 8-gram
+            "q1 q2 q3 q4 q5 q6 q7 other",    # only a 7-gram prefix: clean
+            "a b c",                          # shorter than n: zero ngrams
+        ]
+    )
+    out = (
+        decontaminate(corpus, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_ngrams"].tolist() == [3, 1, 0]
+    assert out["n_contaminated"].tolist() == [1, 0, 0]
+    assert out["contaminated"].tolist() == [1, 0, 0]
+
+
+def test_pii_scrub_masks_and_counts():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import pii_scrub
+
+    docs = _docs(
+        [
+            "mail a@b.io and c.d@e.org now",
+            "go to https://x.y/z?a=1 then http://p.q",
+            "host 10.0.0.1 dials 555-123-4567 twice 555.123.4567",
+            "clean text only",
+        ]
+    )
+    out = pii_scrub(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "mail [EMAIL] and [EMAIL] now",
+        "go to [URL] then [URL]",
+        "host [IP] dials [PHONE] twice [PHONE]",
+        "clean text only",
+    ]
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_url"].tolist() == [0, 2, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 0, 1, 0]
+    assert out["n_phone"].tolist() == [0, 0, 2, 0]
+
+
+def test_pack_sequences_prefix_sum_across_blocks():
+    from neo4j_graph_algorithms_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(5)
+    n = 300
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    # shuffle rows and split across many blocks: the layout must not
+    # depend on input blocking or order
+    docs = rd.from_pandas(df.sample(frac=1, random_state=3)).repartition(11)
+    out = (
+        pack_sequences(docs, budget=64, bucket_bits=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ntok = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    expect_off = np.cumsum(ntok) - ntok
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), ntok)
+    np.testing.assert_array_equal(out["tok_offset"].to_numpy(), expect_off)
+    np.testing.assert_array_equal(out["bin_id"].to_numpy(), expect_off // 64)
+    np.testing.assert_array_equal(out["bin_pos"].to_numpy(), expect_off % 64)
+
+
+def test_rebalance_weights_power_law():
+    from neo4j_graph_algorithms_ray.pipelines.sampling import rebalance_weights
+
+    n = 100
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["t"] * n,
+            "lang": ["en"] * 75 + ["fr"] * 25,
+        }
+    )
+    out = (
+        rebalance_weights(rd.from_pandas(df).repartition(5), alpha=0.5)
+        .to_pandas()
+        .groupby("lang")["weight"]
+        .agg(["min", "max"])
+    )
+    # (n_s/N)^(alpha-1): en -> 0.75^-0.5, fr -> 0.25^-0.5 = 2.0
+    assert out.loc["fr", "min"] == out.loc["fr", "max"] == 2.0
+    expect_en = round(0.75 ** -0.5, 6)
+    assert abs(out.loc["en", "min"] - expect_en) < 2e-6
+    assert out.loc["en", "min"] == out.loc["en", "max"]

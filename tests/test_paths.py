@@ -163,3 +163,30 @@ def test_msbfs_depth_table_consistent_with_closeness():
     np.testing.assert_allclose(
         har.reindex(ref["vid"]).fillna(0).to_numpy(), ref["centrality"].to_numpy()
     )
+
+
+def test_weighted_allpairs_matches_dijkstra_per_source():
+    from neo4j_graph_algorithms_ray.pipelines.paths import weighted_allpairs_table
+
+    rng = np.random.default_rng(11)
+    n, m = 60, 220
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.uniform(0.1, 5.0, m)
+    g = GraphTables.from_arrays(src, dst, w, extra_vids=np.arange(n))
+    sources = np.array([0, 7, 23], dtype=np.int64)
+    out = weighted_allpairs_table(g, sources=sources).to_pandas()
+    for s in sources:
+        oracle = dijkstra_numpy_oracle(src, dst, w, n, int(s))
+        got = out[out["source"] == s].set_index("target")["distance"]
+        expect_t = np.flatnonzero(np.isfinite(oracle))
+        expect_t = expect_t[expect_t != s]
+        assert set(got.index) == set(expect_t)
+        np.testing.assert_allclose(
+            got.loc[expect_t].to_numpy(), oracle[expect_t], rtol=1e-12
+        )
+    # max_distance caps rows
+    capped = weighted_allpairs_table(
+        g, sources=sources[:1], max_distance=3.0
+    ).to_pandas()
+    assert (capped["distance"] <= 3.0).all()

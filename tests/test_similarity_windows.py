@@ -188,3 +188,66 @@ def test_graph_catalog_lifecycle():
     assert inf["nodes"] == 3 and inf["relationships"] == 2 and not inf["weighted"]
     assert any(e["name"] == "toy" for e in catalog.list_graphs())
     assert catalog.remove("toy") and catalog.get("toy") is None
+
+
+def test_asof_join_backward_inclusive_and_blocking_independent():
+    from neo4j_graph_algorithms_ray.pipelines.joins import asof_join
+
+    ts = lambda s: np.datetime64(f"2024-01-01T00:00:{s:02d}", "us")
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 3], dtype=np.int64),
+            "ts": [ts(10), ts(4), ts(7), ts(1)],
+            "event_id": np.array([100, 101, 102, 103], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "ts": [ts(4), ts(9), ts(9), ts(5)],
+            "w": np.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(4),
+            on="ts",
+            by="user_id",
+            left_cols=["event_id"],
+            right_cols=["w"],
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    # user 1 @10 -> right @9 (w=2); user 1 @4 -> exact match @4 (w=1,
+    # inclusive); user 2 @7 -> right @5 (w=4); user 3 -> unmatched null
+    assert out["w"].tolist()[:3] == [2.0, 1.0, 4.0]
+    assert np.isnan(out["w"].iloc[3])
+
+
+def test_asof_join_tie_resolves_to_max_payload():
+    from neo4j_graph_algorithms_ray.pipelines.joins import asof_join
+
+    t0 = np.datetime64("2024-01-01T00:00:05", "us")
+    left = pd.DataFrame(
+        {"user_id": np.array([1], dtype=np.int64), "ts": [t0], "event_id": np.array([1], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "ts": [t0, t0],  # duplicate (by, on): must pick max payload
+            "w": np.array([7.0, 9.0]),
+        }
+    )
+    out = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="ts",
+        by="user_id",
+        left_cols=["event_id"],
+        right_cols=["w"],
+    ).to_pandas()
+    assert out["w"].tolist() == [9.0]
