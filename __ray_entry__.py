@@ -455,6 +455,39 @@ def _q_pii_scrub(sf_dir: str) -> Any:
     return pii_scrub(_docs(sf_dir).map_batches(inject, batch_format="pandas"))
 
 
+def _q_line_dedup(sf_dir: str) -> Any:
+    """C4-style global line dedup over the corpus re-wrapped into
+    8-word lines (the synthetic docs are single-line; wrapping gives
+    the dedup real cross-doc duplicate units from the planted
+    duplicate docs)."""
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import (
+        line_dedup,
+        wrap_lines,
+    )
+
+    return line_dedup(wrap_lines(_docs(sf_dir), words_per_line=8))
+
+
+def _q_tfidf(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
+def _q_token_percentiles(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import (
+        token_length_percentiles,
+    )
+
+    return token_length_percentiles(_docs(sf_dir))
+
+
+def _q_source_profile(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import source_profile
+
+    return source_profile(_docs(sf_dir))
+
+
 def _q_quality(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.text_analysis import quality_scores
 
@@ -912,6 +945,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate_8gram": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "line_dedup": _q_line_dedup,
+        "tfidf_top5": _q_tfidf,
+        "token_length_percentiles": _q_token_percentiles,
+        "source_profile": _q_source_profile,
         "pack_sequences": _q_pack_sequences,
         "events_asof_attribution": _q_events_asof,
         "rebalance_weights": _q_rebalance_weights,
@@ -1932,6 +1969,62 @@ SELECT doc_id, n_url, n_email, n_ipv4,
   len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT AS n_phone,
   regexp_replace(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS text
 FROM s3""",
+        "line_dedup": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), ln AS (
+  SELECT doc_id, ((i - 1) // 8)::BIGINT AS line_no,
+         array_to_string(l[i : i + 7], ' ') AS line
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l), 8)) AS i FROM w)
+), rk AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM ln
+)
+SELECT doc_id,
+  COALESCE(string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE rn = 1), '') AS text,
+  (COUNT(*) FILTER (WHERE rn = 1))::BIGINT AS n_kept,
+  (COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped
+FROM rk GROUP BY doc_id""",
+        "tfidf_top5": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l[i] AS word
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM w)
+), tf AS (
+  SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM pos GROUP BY doc_id, word
+), dfr AS (
+  SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY word
+), n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+s AS (
+  SELECT t.doc_id, t.word, t.tf,
+         ROUND(t.tf * LN((n.n + 1) / (d.df + 1)), 6) AS score
+  FROM tf t JOIN dfr d USING (word) CROSS JOIN n
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM s
+)
+SELECT doc_id, word, tf, score FROM r WHERE rn <= 5""",
+        "token_length_percentiles": r"""WITH t AS (
+  SELECT length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens FROM documents
+), nc AS (SELECT COUNT(*)::BIGINT AS c FROM t),
+ranked AS (SELECT n_tokens AS s, ROW_NUMBER() OVER (ORDER BY n_tokens) AS rn FROM t)
+SELECT 'p' || q::VARCHAR AS stat, MIN(s)::BIGINT AS value
+FROM ranked, (VALUES (1),(5),(10),(25),(50),(75),(90),(95),(99),(100)) t(q), nc
+WHERE rn >= GREATEST(CEIL(q * nc.c / 100.0), 1)
+GROUP BY q
+UNION ALL SELECT 'n_docs', c FROM nc""",
+        "source_profile": r"""WITH t AS (
+  SELECT source, lang,
+         length(regexp_extract_all(text, '\S+'))::BIGINT AS tok,
+         length(text)::BIGINT AS chars
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+  COUNT(DISTINCT lang)::BIGINT AS n_langs,
+  SUM(tok)::BIGINT AS total_tokens,
+  ROUND(SUM(tok) / COUNT(*)::DOUBLE, 6) AS mean_tokens,
+  ROUND(SUM(chars) / COUNT(*)::DOUBLE, 6) AS mean_chars
+FROM t GROUP BY source""",
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "euclidean_topk": """WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)

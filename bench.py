@@ -75,6 +75,10 @@ _BENCH_QUERIES = [
     "pack_sequences",
     "events_asof_attribution",
     "rebalance_weights",
+    "line_dedup",
+    "tfidf_top5",
+    "token_length_percentiles",
+    "source_profile",
     "ann_topk",
     "lsh_topk",
     "ivf_topk",

@@ -382,3 +382,361 @@ def clean_corpus(
         .repartition(shuffle_width(source_size_bytes(docs)), keys=["sha"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+def wrap_lines(
+    docs: "rd.Dataset",
+    words_per_line: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Deterministic re-chunking: re-wrap each doc's single-space word
+    stream into fixed-width lines of ``words_per_line`` words joined by
+    ``\\n`` — the unit-builder in front of line/span-level dedup (and
+    the SQL-mirrorable stand-in for sentence splitting, which needs a
+    language model the container doesn't have). Pure batch-local; the
+    per-doc chunk join is irreducibly string assembly (cost = output
+    bytes, same as any tokenizer)."""
+    w = int(words_per_line)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = [
+            "\n".join(
+                " ".join(ws[i : i + w]) for i in range(0, len(ws), w)
+            )
+            for ws in df[text_col].str.split(" ")
+        ]
+        return pd.DataFrame(
+            {"doc_id": df[id_col].to_numpy(np.int64), "text": texts}
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def line_dedup(
+    docs: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "rd.Dataset":
+    """C4-style corpus-GLOBAL duplicate-line removal (Raffel et al.
+    2020 §2.2 discard-all-but-one): every line that occurs anywhere
+    else in the corpus keeps only its first occurrence, ordered by
+    ``(doc_id, line_no)``; docs are re-assembled from their surviving
+    lines. Emits ``(doc_id, text, n_kept, n_dropped)`` — text is ''
+    when every line of a doc was seen earlier.
+
+    Dataflow — the canonical two-exchange plan, nothing driver-side:
+
+      1. explode to ``(doc_id, line_no, line, h)`` rows (h = siphash of
+         the line, the shuffle key — fixed 8 bytes instead of re-hashing
+         arbitrary-length strings at every exchange boundary);
+      2. hash repartition on ``h``: all occurrences of a line co-locate;
+         the block fold marks the (doc_id, line_no)-min occurrence of
+         each exact line (group by the full string, so hash collisions
+         cannot merge distinct lines) with a keep flag;
+      3. hash repartition on ``doc_id``: each doc's flagged lines
+         co-locate; the fold re-joins kept lines in line_no order.
+
+    Both exchanges carry the line table once — inherent to a global
+    dedup (some shuffle must see every pair of equal lines).
+    """
+    from ..state.partitioning import shuffle_width, source_size_bytes
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df[text_col].str.split("\n")
+        counts = lines.str.len().to_numpy(np.int64)
+        total = int(counts.sum())
+        drep = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        alll = (
+            np.concatenate([np.asarray(x, dtype=object) for x in lines])
+            if total
+            else np.empty(0, object)
+        )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        line_no = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        return pd.DataFrame(
+            {
+                "doc_id": drep,
+                "line_no": line_no,
+                "line": alll,
+                "h": pd.util.hash_array(alll).astype(np.int64)
+                if total
+                else np.empty(0, np.int64),
+            }
+        )
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["line", "doc_id", "line_no"], kind="stable")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "line_no": df["line_no"].to_numpy(np.int64),
+                "line": df["line"].to_numpy(),
+                "keep": (~df["line"].duplicated()).to_numpy(),
+            }
+        )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "text": pd.Series([], dtype="object"),
+                    "n_kept": pd.Series([], dtype="int64"),
+                    "n_dropped": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        g = df.groupby("doc_id", sort=True)
+        kept = df[df["keep"]].groupby("doc_id", sort=True)["line"].agg("\n".join)
+        n_kept = g["keep"].sum().astype(np.int64)
+        n_tot = g.size().astype(np.int64)
+        ids = n_tot.index.to_numpy(np.int64)
+        text = kept.reindex(n_tot.index, fill_value="").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": text,
+                "n_kept": n_kept.to_numpy(),
+                "n_dropped": (n_tot - n_kept).to_numpy(),
+            }
+        )
+
+    width = shuffle_width(source_size_bytes(docs))
+    return (
+        docs.map_batches(explode, batch_format="pandas")
+        .repartition(width, keys=["h"])
+        .map_batches(mark, batch_format="pandas", batch_size=None)
+        .repartition(width, keys=["doc_id"])
+        .map_batches(reassemble, batch_format="pandas", batch_size=None)
+    )
+
+
+def tfidf_top_terms(
+    docs: "rd.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Per-doc top-k TF-IDF keywords: ``(doc_id, word, tf, score)``
+    with ``score = round(tf * ln((N+1)/(df+1)), 6)``, ties broken
+    (score desc, word asc) — the classic smoothed-idf keyword
+    extractor, the relevance-scoring step of data-selection recipes
+    (DSIR-style importance weighting runs on exactly these features).
+
+    Dataflow: the exploded ``(doc_id, word, tf)`` table streams twice
+    (once into the DF aggregate, once into the join) rather than being
+    materialized — at corpus scale the doubled tokenize is cheap
+    against pinning the word table in the object store. The DF side is
+    pre-aggregated per batch before its width-bounded hash aggregate;
+    the join and the final per-doc top-k run at the same bounded
+    width; N comes from parquet metadata (count of a read-rooted
+    plan), not an extra scan.
+    """
+    from ..state.partitioning import shuffle_width
+
+    width = shuffle_width()
+    n_docs = docs.count()
+
+    import pyarrow as pa
+
+    def tf_explode(df: pd.DataFrame) -> pa.Table:
+        words = df[text_col].str.split(" ")
+        counts = words.str.len().to_numpy(np.int64)
+        if not counts.sum():
+            return pa.table(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "tf": np.empty(0, np.int64),
+                }
+            )
+        drep = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        allw = np.concatenate([np.asarray(x, dtype=object) for x in words])
+        out = (
+            pd.DataFrame({"doc_id": drep, "word": allw})
+            .groupby(["doc_id", "word"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "word": pa.array(out["word"], pa.string()),
+                "tf": out["tf"].to_numpy(np.int64),
+            }
+        )
+
+    # The DF side joins back to the TF side via a TAGGED UNION + one
+    # keyed repartition + per-block merge — NOT Dataset.join, whose
+    # aggregator builds a zero-column Arrow table for any hash
+    # partition that received no shards from one side, and
+    # pa.Table.join then dies on the missing key field.
+    def df_partial(d: pd.DataFrame) -> pa.Table:
+        g = d.groupby("word", as_index=False).size()
+        return pa.table(
+            {
+                "word": pa.array(g["word"], pa.string()),
+                "df": g["size"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum(df)")
+        t = t.set_column(i, "df", t.column(i))
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64)),
+                "word": t["word"],
+                "tf": pa.array(np.zeros(n, np.int64)),
+                "df": t["df"],
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return t.append_column("df", pa.array(np.zeros(len(t), np.int64))).append_column(
+            "side", pa.array(np.zeros(len(t), np.int8))
+        )
+
+    tf = docs.map_batches(tf_explode, batch_format="pandas")
+    df_tab = (
+        tf.map_batches(df_partial, batch_format="pandas")
+        .groupby("word", num_partitions=width)
+        .sum("df")
+        # NOT Dataset.rename_columns: its Project op calls the
+        # Arrow-only block method and crashes on pandas-format blocks
+        .map_batches(tag_df, batch_format="pyarrow")
+    )
+    combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(df_tab)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["side"] == 0]
+        rhs = df[df["side"] == 1]
+        return lhs[["doc_id", "word", "tf"]].merge(
+            rhs[["word", "df"]], on="word", how="inner"
+        )
+
+    joined = combined.repartition(width, keys=["word"]).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        score = np.floor(
+            df["tf"].to_numpy(np.float64)
+            * np.log((n_docs + 1.0) / (df["df"].to_numpy(np.float64) + 1.0))
+            * 1e6
+            + 0.5
+        ) / 1e6
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "word": df["word"].to_numpy(),
+                "tf": df["tf"].to_numpy(np.int64),
+                "score": score,
+            }
+        )
+        out = out.sort_values(
+            ["doc_id", "score", "word"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return out.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+
+    return joined.repartition(width, keys=["doc_id"]).map_batches(
+        topk, batch_format="pandas", batch_size=None
+    )
+
+
+def token_length_percentiles(docs: "rd.Dataset", text_col: str = "text") -> "pa.Table":
+    """Corpus token-length distribution: ``(stat, value)`` rows —
+    ``n_docs`` plus the discrete order-statistic percentiles
+    p1/p5/.../p100 of per-doc whitespace token counts (same percentile
+    definition as :mod:`stats` — smallest value of rank ≥ ceil(q·n/100)).
+
+    Token counts are small integers, so the exact distribution folds as
+    an integer histogram: one streamed pass emits per-batch
+    ``(n_tokens, count)`` partials; the driver holds one counter per
+    DISTINCT length (bounded by the longest doc, never by corpus
+    size) — exact percentiles with no distributed sort."""
+    import pyarrow as pa
+
+    from ..pipelines.stats import _QS
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(token_count(df[text_col]), return_counts=True)
+        return pd.DataFrame({"n_tokens": v.astype(np.int64), "cnt": c.astype(np.int64)})
+
+    hist: dict[int, int] = {}
+    for b in docs.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        for v, c in zip(b["n_tokens"].to_numpy(), b["cnt"].to_numpy()):
+            hist[int(v)] = hist.get(int(v), 0) + int(c)
+    lens = np.array(sorted(hist), dtype=np.int64)
+    counts = np.array([hist[int(v)] for v in lens], dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    stats = ["n_docs"]
+    vals = [n]
+    for q in _QS:
+        rank = max(1, int(np.ceil(q * n / 100.0)))
+        idx = int(np.searchsorted(cum, rank))
+        stats.append(f"p{q}")
+        vals.append(int(lens[min(idx, len(lens) - 1)]) if n else 0)
+    return pa.table({"stat": stats, "value": np.asarray(vals, dtype=np.int64)})
+
+
+def source_profile(
+    docs: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> "rd.Dataset":
+    """Per-source corpus profile — the curation dashboard every corpus
+    intake runs: ``(source, n_docs, n_langs, total_tokens, mean_tokens,
+    mean_chars)``, means rounded half-away to 6 decimals. Map-side
+    partials are pre-aggregated per (source, lang) — a tiny table at
+    any corpus size — then one keyed repartition folds exact sums; no
+    doc-level rows cross the exchange."""
+    from ..state.partitioning import shuffle_width
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "source": df[source_col],
+                "lang": df[lang_col],
+                "tok": token_count(df[text_col]),
+                "chars": df[text_col].str.len().to_numpy(np.int64),
+            }
+        )
+        out = t.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("tok", "size"), tok=("tok", "sum"), chars=("chars", "sum")
+        )
+        return out.astype({"n_docs": "int64", "tok": "int64", "chars": "int64"})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=True)
+        n = g["n_docs"].sum().astype(np.float64)
+        tok = g["tok"].sum().astype(np.int64)
+        chars = g["chars"].sum().astype(np.int64)
+
+        def r6(x):
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
+        return pd.DataFrame(
+            {
+                "source": n.index,
+                "n_docs": n.to_numpy(np.int64),
+                "n_langs": g["lang"].nunique().to_numpy(np.int64),
+                "total_tokens": tok.to_numpy(),
+                "mean_tokens": r6(tok.to_numpy() / n.to_numpy()),
+                "mean_chars": r6(chars.to_numpy() / n.to_numpy()),
+            }
+        ).reset_index(drop=True)
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .repartition(shuffle_width(), keys=["source"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

@@ -299,3 +299,84 @@ def test_rebalance_weights_power_law():
     expect_en = round(0.75 ** -0.5, 6)
     assert abs(out.loc["en", "min"] - expect_en) < 2e-6
     assert out.loc["en", "min"] == out.loc["en", "max"]
+
+
+def test_wrap_lines_rewraps_word_stream():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import wrap_lines
+
+    docs = _docs(["a b c d e", "x y"])
+    out = wrap_lines(docs, words_per_line=2).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["a b\nc d\ne", "x y"]
+
+
+def test_line_dedup_keeps_first_occurrence_globally():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import line_dedup
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.array([0, 1, 2], dtype=np.int64),
+                # doc0: A,B ; doc1: B,C,B ; doc2: A (all dup -> empty)
+                "text": ["A\nB", "B\nC\nB", "A"],
+            }
+        )
+    )
+    out = line_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == ["A\nB", "C", ""]
+    assert out["n_kept"].tolist() == [2, 1, 0]
+    assert out["n_dropped"].tolist() == [0, 2, 1]
+
+
+def test_tfidf_scores_and_topk():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import tfidf_top_terms
+
+    docs = _docs(["a a b", "a c", "c d"])
+    out = (
+        tfidf_top_terms(docs, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "word"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    n = 3.0
+
+    def s(tf, df):
+        return np.floor(tf * np.log((n + 1) / (df + 1)) * 1e6 + 0.5) / 1e6
+
+    # doc0: a(tf2,df2)=2*ln(4/3), b(tf1,df1)=ln(2)
+    d0 = out[out.doc_id == 0]
+    assert d0.word.tolist() == ["b", "a"]
+    assert d0.score.tolist() == [s(1, 1), s(2, 2)]
+    assert len(out[out.doc_id == 1]) == 2
+    assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_token_length_percentiles_exact_order_stats():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import (
+        token_length_percentiles,
+    )
+
+    docs = _docs(["a", "a b", "a b c", "a b c d"])
+    t = token_length_percentiles(docs).to_pandas().set_index("stat")["value"]
+    assert t["n_docs"] == 4
+    assert t["p25"] == 1 and t["p50"] == 2 and t["p75"] == 3 and t["p100"] == 4
+    assert t["p1"] == 1  # rank ceil(0.04)=1 -> smallest
+
+
+def test_source_profile_groups_and_means():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import source_profile
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": ["a b", "a b c d", "x", "y z"],
+                "lang": ["en", "de", "en", "en"],
+                "source": ["s1", "s1", "s2", "s2"],
+            }
+        )
+    )
+    out = source_profile(docs).to_pandas().sort_values("source").reset_index(drop=True)
+    assert out.n_docs.tolist() == [2, 2]
+    assert out.n_langs.tolist() == [2, 1]
+    assert out.total_tokens.tolist() == [6, 3]
+    assert out.mean_tokens.tolist() == [3.0, 1.5]
