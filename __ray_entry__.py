@@ -257,6 +257,12 @@ def _q_minhash_groups(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_neardup(_docs(sf_dir)).groups
 
 
+def _q_dedup_keep_canonical(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_keep_canonical
+
+    return dedup_keep_canonical(_docs(sf_dir))
+
+
 def _q_simhash_groups(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.dedup import simhash_neardup
 
@@ -931,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_1d_6h": _q_events_hopping,
         "sessionize": _q_sessionize,
         "minhash_lsh_groups": _q_minhash_groups,
+        "dedup_keep_canonical": _q_dedup_keep_canonical,
         "simhash_groups": _q_simhash_groups,
         "embedding_neardup": _q_embedding_neardup,
         "doc_fingerprints": _q_fingerprints,
@@ -2161,6 +2168,26 @@ vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
 SELECT v.vid, COUNT(e.src)::BIGINT AS out_deg
 FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "minhash_lsh_groups": _minhash_groups_sql(),
+        "dedup_keep_canonical": f"""WITH mg AS (
+  SELECT * FROM ({_minhash_groups_sql()}) t
+), memb AS (
+  SELECT g.doc_id, g.group_id, length(d.text)::BIGINT AS n_chars
+  FROM mg g JOIN documents d USING (doc_id)
+), canon AS (
+  SELECT group_id, doc_id AS canonical FROM (
+    SELECT group_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM memb) WHERE rn = 1
+), gsz AS (
+  SELECT group_id, COUNT(*)::BIGINT AS group_size FROM memb GROUP BY group_id
+)
+SELECT d.doc_id, COALESCE(gs.group_size, 1)::BIGINT AS group_size
+FROM documents d
+LEFT JOIN memb m ON m.doc_id = d.doc_id
+LEFT JOIN canon c ON c.group_id = m.group_id
+LEFT JOIN gsz gs ON gs.group_id = m.group_id
+WHERE m.doc_id IS NULL OR d.doc_id = c.canonical""",
         # full sketch→band→pair→component recomputation of
         # pipelines/dedup.py simhash_neardup: per-token hash is the
         # big-endian sha256 prefix (stages/minhash.py simhash64 uses the

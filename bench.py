@@ -76,6 +76,7 @@ _BENCH_QUERIES = [
     "events_asof_attribution",
     "rebalance_weights",
     "line_dedup",
+    "dedup_keep_canonical",
     "tfidf_top5",
     "token_length_percentiles",
     "source_profile",

@@ -524,3 +524,85 @@ def ngram_jaccard_pairs(
     )
     out = candidate_pairs.merge(scored, on=["doc_a", "doc_b"], how="left")
     return out
+
+
+def dedup_keep_canonical(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> "rd.Dataset":
+    """The end-to-end 'dedup the corpus' composite every pretraining
+    pipeline actually runs: MinHash-LSH near-dup groups → keep ONE
+    canonical doc per group (the longest text; ties → smallest
+    doc_id) → emit the surviving corpus as ``(doc_id, group_size)``
+    rows (group_size = 1 for docs in no near-dup group; re-join text
+    downstream by doc_id when needed).
+
+    Scale contract: the canonical-selection state is O(near-dup
+    MEMBERSHIP) — the same bound :func:`minhash_lsh_neardup` already
+    places on its group table — held as sorted id arrays broadcast via
+    ``ray.put``; the corpus itself only ever STREAMS (once to collect
+    member text lengths, once to filter survivors), nothing corpus-
+    sized touches the driver.
+    """
+    res = minhash_lsh_neardup(docs, id_col=id_col, text_col=text_col, **minhash_kwargs)
+    g = res.groups
+
+    def emit_all(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"doc_id": ids, "group_size": np.ones(len(ids), np.int64)}
+        )
+
+    if not len(g):
+        return docs.map_batches(emit_all, batch_format="pandas")
+
+    member_ids = np.sort(g["doc_id"].to_numpy(np.int64))
+    mref = ray.put(member_ids)
+
+    def member_chars(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        mem = ray.get(mref)
+        pos = np.searchsorted(mem, ids)
+        ok = (pos < len(mem)) & (mem[np.minimum(pos, len(mem) - 1)] == ids)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[ok],
+                "n_chars": df[text_col].str.len().to_numpy(np.int64)[ok],
+            }
+        )
+
+    mm = (
+        docs.map_batches(member_chars, batch_format="pandas")
+        .to_pandas()
+        .merge(g, on="doc_id")
+    )
+    mm = mm.sort_values(
+        ["group_id", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    canon = mm.groupby("group_id", sort=False).head(1)
+    sizes = mm.groupby("group_id", sort=False).size()
+    canon_ids = canon["doc_id"].to_numpy(np.int64)
+    canon_sizes = sizes.loc[canon["group_id"]].to_numpy(np.int64)
+    order = np.argsort(canon_ids)
+    canon_ids, canon_sizes = canon_ids[order], canon_sizes[order]
+    drop_ids = np.sort(
+        mm.loc[~mm["doc_id"].isin(canon_ids), "doc_id"].to_numpy(np.int64)
+    )
+    sref = ray.put((drop_ids, canon_ids, canon_sizes))
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        drop, cids, csz = ray.get(sref)
+        ids = df[id_col].to_numpy(np.int64)
+        pos = np.searchsorted(drop, ids)
+        dropped = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == ids)
+        ids = ids[~dropped]
+        gsize = np.ones(len(ids), np.int64)
+        pos = np.searchsorted(cids, ids)
+        ok = (pos < len(cids)) & (cids[np.minimum(pos, len(cids) - 1)] == ids)
+        gsize[ok] = csz[np.minimum(pos, len(cids) - 1)[ok]]
+        return pd.DataFrame({"doc_id": ids, "group_size": gsize})
+
+    return docs.map_batches(survivors, batch_format="pandas")

@@ -198,7 +198,15 @@ def top_ngrams(
         .groupby("ngram", num_partitions=shuffle_width())
         .sum("cnt")
     )
-    agg = agg.rename_columns({"sum(cnt)": "cnt"})
+    def rn(t):
+        # robust to either block format (Dataset.rename_columns'
+        # Project crashes on pandas-format blocks)
+        if isinstance(t, pd.DataFrame):
+            return t.rename(columns={"sum(cnt)": "cnt"})
+        i = t.schema.get_field_index("sum(cnt)")
+        return t.set_column(i, "cnt", t.column(i))
+
+    agg = agg.map_batches(rn, batch_format=None)
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
 
 

@@ -380,3 +380,26 @@ def test_source_profile_groups_and_means():
     assert out.n_langs.tolist() == [2, 1]
     assert out.total_tokens.tolist() == [6, 3]
     assert out.mean_tokens.tolist() == [3.0, 1.5]
+
+
+def test_dedup_keep_canonical_longest_survives():
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_keep_canonical
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = _docs(
+        [
+            base,                             # 0: member, same len as 1? no: see 1
+            base.replace("quick", "fast"),    # 1: near-dup, SHORTER by 1 char
+            "unrelated document about ray data pipelines and arrow batches " * 5,
+            base.replace("dog", "dogg"),      # 3: near-dup, LONGER by 5 chars
+        ]
+    )
+    out = (
+        dedup_keep_canonical(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # group {0,1,3}: doc 3 is longest -> canonical; 2 untouched singleton
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out.set_index("doc_id")["group_size"].to_dict() == {2: 1, 3: 3}
