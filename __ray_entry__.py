@@ -763,6 +763,18 @@ def _q_euclidean_topk(sf_dir: str) -> pd.DataFrame:
     return t[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_euclidean_pairs(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_pairs
+
+    return metric_pairs(_emb(sf_dir), cutoff=1.2, metric="euclidean")
+
+
+def _q_pearson_pairs(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_pairs
+
+    return metric_pairs(_emb(sf_dir), cutoff=0.3, metric="pearson")
+
+
 def _q_pearson_topk(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
 
@@ -927,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": _q_doc_sha256,
         "euclidean_topk": _q_euclidean_topk,
         "pearson_topk": _q_pearson_topk,
+        "euclidean_pairs": _q_euclidean_pairs,
+        "pearson_pairs": _q_pearson_pairs,
         "token_stats": _q_token_stats,
         "lang_counts": _q_lang_counts,
         "ann_topk": _q_ann_topk,
@@ -2134,6 +2148,22 @@ JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "eigenvector_top10": f"""WITH {_E_CYC}, {_eigen_cte(10)}
 SELECT vid, ROUND(r, 6) AS score FROM e10
 ORDER BY ROUND(r, 6) DESC, vid LIMIT 10""",
+        "euclidean_pairs": """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  ROUND(sqrt(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])^2), 4) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(sqrt(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])^2), 4) <= 1.2""",
+        "pearson_pairs": """WITH cent AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[],
+                   x -> x - list_aggregate(embedding::DOUBLE[], 'avg')) AS c
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+  ROUND(list_cosine_similarity(a.c, b.c), 4) AS score
+FROM cent a, cent b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.c, b.c), 4) >= 0.3""",
         "pearson_topk": """WITH cent AS (
   SELECT vec_id,
     list_transform(embedding::DOUBLE[],

@@ -80,6 +80,8 @@ _BENCH_QUERIES = [
     "tfidf_top5",
     "token_length_percentiles",
     "source_profile",
+    "euclidean_pairs",
+    "pearson_pairs",
     "ann_topk",
     "lsh_topk",
     "ivf_topk",

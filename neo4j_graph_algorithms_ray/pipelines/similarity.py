@@ -46,19 +46,22 @@ def _select_rows(
 
 
 def _stream_matrix(
-    embeddings: "rd.Dataset", id_col: str, vec_col: str
+    embeddings: "rd.Dataset", id_col: str, vec_col: str, normalize: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Stream the (id, normalized-vector) matrix to the driver in
-    batches (no full-table pandas materialization), sorted by id.
-    O(n·d) driver/object-store memory — the exact-baseline envelope;
-    the >10^7-vector path is ``lsh_cosine_neardup``."""
+    """Stream the (id, vector) matrix to the driver in batches
+    (no full-table pandas materialization), sorted by id; rows
+    L2-normalized unless ``normalize=False`` (euclidean callers need
+    raw magnitudes). O(n·d) driver/object-store memory — the
+    exact-baseline envelope; the >10^7-vector path is
+    ``lsh_cosine_neardup``."""
     ids_chunks: list[np.ndarray] = []
     vec_chunks: list[np.ndarray] = []
     for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
         batch_format="pandas", batch_size=8192
     ):
         ids_chunks.append(b[id_col].to_numpy(np.int64))
-        vec_chunks.append(_normalize(_to_matrix(b, vec_col)))
+        m = _to_matrix(b, vec_col)
+        vec_chunks.append(_normalize(m) if normalize else m)
     if not ids_chunks:
         return np.empty(0, np.int64), np.empty((0, 0))
     vids = np.concatenate(ids_chunks)
@@ -414,6 +417,70 @@ def cosine_neardup(
              "sim": pd.Series([], dtype="float64")}
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def metric_pairs(
+    embeddings: "rd.Dataset",
+    cutoff: float,
+    *,
+    metric: str = "cosine",  # cosine | pearson | euclidean
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+) -> "rd.Dataset":
+    """Cutoff pair STREAM under any §2.6 metric — the reference
+    ``algo.similarity.cosine/pearson/euclidean.stream`` surface
+    (similarityCutoff semantics: cosine/pearson keep score ≥ cutoff,
+    euclidean keeps distance ≤ cutoff; one row per unordered pair,
+    vec_id_a < vec_id_b). The cutoff compares the ROUNDED score
+    (``round_decimals``, half-away) so boundary pairs bucket
+    identically to a SQL oracle using the same ROUND.
+
+    Same blocked-broadcast kernel as :func:`cosine_neardup`
+    (stream-built matrix shipped once via ray.put, O(n²/B) matmul per
+    block) — exact; for cosine at ≥10⁶ vectors route through
+    :func:`lsh_cosine_neardup` instead. Returns a Dataset
+    ``(vec_id_a, vec_id_b, score)``.
+    """
+    # euclidean needs raw magnitudes; cosine/pearson are
+    # scale-invariant (centering commutes with row scaling), so the
+    # pre-normalized stream is fine for them
+    vids_m = _stream_matrix(
+        embeddings, id_col, vec_col, normalize=metric != "euclidean"
+    )
+    scale = 10.0**round_decimals
+
+    def prep(m: np.ndarray) -> np.ndarray:
+        if metric == "pearson":
+            return _normalize(m - m.mean(axis=1, keepdims=True))
+        if metric == "cosine":
+            return _normalize(m)
+        return m  # euclidean: raw
+
+    ref = ray.put((vids_m[0], prep(vids_m[1])))
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        avids, am = ray.get(ref)
+        bm = prep(_to_matrix(df, vec_col))
+        bvids = df[id_col].to_numpy(np.int64)
+        if metric == "euclidean":
+            bn = (bm**2).sum(axis=1, keepdims=True)
+            an = (am**2).sum(axis=1)
+            scores = np.sqrt(np.maximum(bn + an - 2.0 * (bm @ am.T), 0.0))
+        else:
+            scores = bm @ am.T
+        scores = np.floor(scores * scale + 0.5) / scale
+        hit = scores <= cutoff if metric == "euclidean" else scores >= cutoff
+        bi, ai = np.nonzero(hit & (bvids[:, None] < avids[None, :]))
+        return pd.DataFrame(
+            {
+                "vec_id_a": bvids[bi],
+                "vec_id_b": avids[ai],
+                "score": scores[bi, ai],
+            }
+        )
+
+    return embeddings.map_batches(block_pairs, batch_format="pandas")
 
 
 def lsh_cosine_neardup(

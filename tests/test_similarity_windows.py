@@ -251,3 +251,43 @@ def test_asof_join_tie_resolves_to_max_payload():
         right_cols=["w"],
     ).to_pandas()
     assert out["w"].tolist() == [9.0]
+
+
+def test_metric_pairs_cutoff_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_pairs
+
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0],   # close to 0
+        [0.0, 1.0, 0.0],   # far from both
+        [1.0, 0.05, 0.0],  # close to 0 and 1
+    ]
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": [np.asarray(v, np.float32) for v in vecs],
+            }
+        )
+    )
+    # euclidean: distance <= 0.2 keeps (0,1)? d(0,1)=sqrt(.01+.01)=.1414 yes;
+    # d(0,3)=.05; d(1,3)=.1118; d with 2 all > 1
+    out = (
+        metric_pairs(emb, cutoff=0.2, metric="euclidean")
+        .to_pandas()
+        .sort_values(["vec_id_a", "vec_id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.vec_id_a, out.vec_id_b)) == [(0, 1), (0, 3), (1, 3)]
+    m = np.asarray(vecs)
+    for _, r in out.iterrows():
+        d = np.sqrt(((m[int(r.vec_id_a)] - m[int(r.vec_id_b)]) ** 2).sum())
+        assert abs(r.score - round(d, 4)) < 1e-9
+    # cosine cutoff high keeps only the tightest pair: cos(0,3)=0.9988
+    outc = metric_pairs(emb, cutoff=0.998, metric="cosine").to_pandas()
+    assert (0, 3) in set(zip(outc.vec_id_a, outc.vec_id_b))
+    assert (0, 2) not in set(zip(outc.vec_id_a, outc.vec_id_b))
