@@ -803,6 +803,12 @@ def _q_events_hopping(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_funnel(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.windows import funnel
+
+    return funnel(_events(sf_dir), steps=["view", "click", "purchase"])
+
+
 def _q_sessionize(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.windows import sessionize
 
@@ -950,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_daily": _q_events_tumbling,
         "events_hopping_1d_6h": _q_events_hopping,
         "sessionize": _q_sessionize,
+        "funnel_view_click_purchase": _q_funnel,
         "minhash_lsh_groups": _q_minhash_groups,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "simhash_groups": _q_simhash_groups,
@@ -1990,6 +1997,31 @@ SELECT doc_id, n_url, n_email, n_ipv4,
   len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))::BIGINT AS n_phone,
   regexp_replace(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS text
 FROM s3""",
+        "funnel_view_click_purchase": """WITH base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, MIN(epoch_us(ts))::BIGINT AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts))::BIGINT AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts))::BIGINT AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+  GROUP BY e.user_id
+)
+SELECT b.user_id,
+  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS steps_completed,
+  (t3 IS NOT NULL)::BIGINT AS converted,
+  COALESCE(t3 - t1, -1)::BIGINT AS time_to_convert_us
+FROM base b
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)""",
         "line_dedup": """WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ), ln AS (

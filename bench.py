@@ -91,6 +91,7 @@ _BENCH_QUERIES = [
     "sql_projection_degree",
     "events_tumbling_daily",
     "sessionize",
+    "funnel_view_click_purchase",
 ]
 
 

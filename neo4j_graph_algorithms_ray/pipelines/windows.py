@@ -135,3 +135,93 @@ def sessionize(
     ).map_batches(
         per_user, batch_format="pandas", batch_size=None
     )
+
+
+def funnel(
+    events: "rd.Dataset",
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> "rd.Dataset":
+    """Ordered-sequence funnel analysis over an event stream: per user,
+    how far through ``steps`` they progressed, where step i counts only
+    at the EARLIEST event of that type STRICTLY AFTER the user's step
+    i-1 time (first-touch attribution, the standard product-analytics
+    funnel). Emits one row per user:
+    ``(user_id, steps_completed, converted, time_to_convert_us)`` —
+    time is -1 for non-converted users (no NULLs, exact SQL parity).
+
+    Dataflow: one projection pass keeps only step-typed events as
+    ``(user, step_idx, ts_us)`` — the shuffle carries 24 B/event for
+    relevant types only — then a single hash repartition on the user
+    key makes each user block-complete; the per-block fold walks the
+    ``len(steps)`` stages as whole-column pandas merges (no per-user
+    Python). Same partitioning contract as :func:`sessionize`: one
+    user's (filtered) events fit one block.
+    """
+    idx = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[type_col].isin(idx).to_numpy()
+        return pd.DataFrame(
+            {
+                "u": df[user_col].to_numpy(np.int64)[m],
+                "step": df[type_col].map(idx).to_numpy()[m].astype(np.int64),
+                "ts_us": df[ts_col].to_numpy("datetime64[us]").astype(np.int64)[m],
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "steps_completed": pd.Series([], dtype="int64"),
+                    "converted": pd.Series([], dtype="int64"),
+                    "time_to_convert_us": pd.Series([], dtype="int64"),
+                }
+            )
+        users = np.unique(df["u"].to_numpy(np.int64))
+        # t[i]: per-user first time of step i after t[i-1] (NaN = never)
+        cur = pd.Series(-1.0, index=users)  # step -1 sentinel: t > -inf
+        first_t = None
+        done = np.zeros(len(users), dtype=np.int64)
+        for i in range(k):
+            ev = df[df["step"] == i]
+            if not len(ev):
+                cur = pd.Series(np.nan, index=users)
+            else:
+                if i:
+                    prev = cur.reindex(ev["u"].to_numpy(np.int64)).to_numpy()
+                    ok = np.isfinite(prev) & (
+                        ev["ts_us"].to_numpy(np.float64) > prev
+                    )
+                    ev = ev[ok]
+                nxt = ev.groupby("u")["ts_us"].min()
+                cur = nxt.reindex(users).astype(np.float64)
+            reached = np.isfinite(cur.to_numpy())
+            done += reached.astype(np.int64)
+            if i == 0:
+                first_t = cur.to_numpy().copy()
+        last_t = cur.to_numpy()
+        converted = (done == k).astype(np.int64)
+        ttc = np.where(
+            converted == 1, (last_t - first_t), -1.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "steps_completed": done,
+                "converted": converted,
+                "time_to_convert_us": ttc,
+            }
+        )
+
+    return (
+        events.map_batches(project, batch_format="pandas")
+        .repartition(shuffle_width(source_size_bytes(events)), keys=["u"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

@@ -291,3 +291,46 @@ def test_metric_pairs_cutoff_semantics():
     outc = metric_pairs(emb, cutoff=0.998, metric="cosine").to_pandas()
     assert (0, 3) in set(zip(outc.vec_id_a, outc.vec_id_b))
     assert (0, 2) not in set(zip(outc.vec_id_a, outc.vec_id_b))
+
+
+def test_funnel_strictly_ordered_first_touch():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.windows import funnel
+
+    def ts(s):
+        return pd.Timestamp(f"2026-01-01 00:00:{s:02d}")
+
+    rows = [
+        # user 1 converts: view@1, click@3, purchase@5 (ttc = 4s)
+        (1, "view", 1), (1, "click", 3), (1, "purchase", 5),
+        # user 2: purchase BEFORE click -> stuck at step 2
+        (2, "view", 1), (2, "purchase", 2), (2, "click", 4),
+        # user 3: click only (never viewed) -> 0 steps
+        (3, "click", 1),
+        # user 4: view twice, click between them counts (after FIRST view)
+        (4, "view", 1), (4, "click", 2), (4, "view", 3), (4, "purchase", 4),
+    ]
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+                "event_type": [r[1] for r in rows],
+                "ts": pa.array([ts(r[2]) for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        funnel(ev, steps=["view", "click", "purchase"])
+        .to_pandas()
+        .sort_values("user_id")
+        .set_index("user_id")
+    )
+    assert out["steps_completed"].to_dict() == {1: 3, 2: 2, 3: 0, 4: 3}
+    assert out["converted"].to_dict() == {1: 1, 2: 0, 3: 0, 4: 1}
+    assert out.loc[1, "time_to_convert_us"] == 4_000_000
+    assert out.loc[4, "time_to_convert_us"] == 3_000_000
+    assert out.loc[2, "time_to_convert_us"] == -1
