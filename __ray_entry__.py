@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_8gram": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
+        "hll_distinct_words": _q_hll_distinct_words,
         "tfidf_top5": _q_tfidf,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
@@ -1667,6 +1668,80 @@ ranked AS (
 SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
 
 
+def _q_hll_distinct_words(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.sketches import hll_distinct_words
+
+    return hll_distinct_words(_docs(sf_dir))
+
+
+def _hll_sql() -> str:
+    """Exact SQL recomputation of pipelines/sketches.py
+    hll_distinct_words: same polynomial word hash (coefficient table
+    embedded; ascii() == utf-8 byte on this ASCII corpus, HUGEINT mod
+    2^64 == uint64 wraparound), same bucket/rank bit arithmetic
+    (length(bin(x)) == integer bit_length, no float log2), and the
+    register sum kept as exact HUGEINT so the single double divide and
+    the LN small-range branch are the only float ops — both identical
+    to the numpy side."""
+    from neo4j_graph_algorithms_ray.pipelines.sketches import _HLL_C, _POWS
+
+    pw_rows = ",".join(f"({j + 1},{int(_POWS[j])})" for j in range(len(_POWS)))
+    c_lit = repr(_HLL_C)
+    return f"""WITH w AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+), word AS (
+  SELECT DISTINCT l[i] AS wd
+  FROM (SELECT l, unnest(generate_series(1, len(l))) AS i FROM w)
+  WHERE length(l[i]) > 0
+), chars AS (
+  SELECT wd, unnest(generate_series(1, LEAST(length(wd), 32))) AS j FROM word
+), pw(j, c) AS (VALUES {pw_rows}
+), h0 AS (
+  SELECT wd,
+    ((SUM(ascii(substr(wd, j, 1))::HUGEINT * c::HUGEINT))
+     % 18446744073709551616::HUGEINT)::UBIGINT AS x
+  FROM chars JOIN pw USING (j) GROUP BY wd
+), x1 AS (
+  SELECT xor(x, x >> 30) AS x FROM h0
+), m1 AS (
+  -- (x*C) mod 2^64 split into 32-bit halves: a 64x64 product would
+  -- overflow signed INT128
+  SELECT ((((x >> 32)::HUGEINT * 13787848793156543929::HUGEINT
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT
+           + (x & 4294967295)::HUGEINT * 13787848793156543929::HUGEINT)
+          % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM x1
+), x2 AS (
+  SELECT xor(x, x >> 27) AS x FROM m1
+), m2 AS (
+  SELECT ((((x >> 32)::HUGEINT * 10723151780598845931::HUGEINT
+            % 4294967296::HUGEINT) * 4294967296::HUGEINT
+           + (x & 4294967295)::HUGEINT * 10723151780598845931::HUGEINT)
+          % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM x2
+), h AS (
+  SELECT xor(x, x >> 31) AS x FROM m2
+), r AS (
+  SELECT (x >> 54)::BIGINT AS bucket,
+    CASE WHEN (x & ((1::UBIGINT << 54) - 1)) = 0 THEN 55
+         ELSE 55 - length(bin(x & ((1::UBIGINT << 54) - 1))) END AS rank
+  FROM h
+), reg AS (
+  SELECT bucket, MAX(rank)::BIGINT AS r FROM r GROUP BY bucket
+), agg AS (
+  SELECT SUM(1::HUGEINT << (55 - r))
+         + (1024 - COUNT(*))::HUGEINT * (1::HUGEINT << 55) AS ssum,
+         COUNT(*)::BIGINT AS used
+  FROM reg
+), est AS (
+  SELECT used,
+    CASE WHEN ({c_lit} / ssum::DOUBLE) <= 2560.0 AND used < 1024
+         THEN 1024 * LN(1024.0 / (1024 - used))
+         ELSE {c_lit} / ssum::DOUBLE END AS e
+  FROM agg
+)
+SELECT 'hll_estimate' AS stat, ROUND(e, 3) AS value FROM est
+UNION ALL SELECT 'hll_buckets_used', used::DOUBLE FROM est"""
+
+
 def _minhash_groups_sql() -> str:
     """Full SQL recomputation of pipelines/dedup.py minhash_lsh_neardup
     (default 64 perms / 16 bands / threshold 0.5): the 5-char polynomial
@@ -2230,6 +2305,7 @@ vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
 SELECT v.vid, COUNT(e.src)::BIGINT AS out_deg
 FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "minhash_lsh_groups": _minhash_groups_sql(),
+        "hll_distinct_words": _hll_sql(),
         "dedup_keep_canonical": f"""WITH mg AS (
   SELECT * FROM ({_minhash_groups_sql()}) t
 ), memb AS (

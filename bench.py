@@ -79,6 +79,7 @@ _BENCH_QUERIES = [
     "dedup_keep_canonical",
     "tfidf_top5",
     "token_length_percentiles",
+    "hll_distinct_words",
     "source_profile",
     "euclidean_pairs",
     "pearson_pairs",

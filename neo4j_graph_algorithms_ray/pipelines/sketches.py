@@ -1,0 +1,135 @@
+"""Distributed sketch operators. First resident: HyperLogLog distinct
+counting (Flajolet et al. 2007) over corpus words — the cardinality
+probe every corpus intake runs ("how many distinct tokens are in these
+100 TB?") at O(m) memory instead of a corpus-wide distinct shuffle.
+
+Everything is EXACTLY SQL-recomputable (the house oracle rule): the
+per-word hash is a low-order polynomial over the first
+``_MAX_WORD_CHARS`` bytes with mod-2^64 wraparound (uint64 numpy ==
+HUGEINT-mod SQL, same coefficient table), bucket/rank extraction is
+integer bit arithmetic, and the register fold is kept as an INTEGER
+sum of ``2^(55-rank)`` so the only floating-point operations — one
+division and one log — are performed identically on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_B = 1099511628211  # FNV-64 prime, same base as stages/minhash.py
+_MAX_WORD_CHARS = 32
+_HLL_P = 10  # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_LOW_BITS = 64 - _HLL_P  # 54
+# coefficient table B^j mod 2^64, j = 0.._MAX_WORD_CHARS-1
+_POWS = np.empty(_MAX_WORD_CHARS, dtype=np.uint64)
+_p = 1
+for _j in range(_MAX_WORD_CHARS):
+    _POWS[_j] = _p
+    _p = (_p * _B) % (1 << 64)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)  # splitmix64 finalizer constants
+_MIX2 = np.uint64(0x94D049BB133111EB)
+_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# the whole numerator is precomputed so both sides do ONE double divide
+_HLL_C = _ALPHA * _HLL_M * _HLL_M * float(1 << 55)
+
+
+def word_hash_u64(words: np.ndarray) -> np.ndarray:
+    """Vectorized polynomial word hash: h(w) = Σ byte_j · B^j mod 2^64
+    over the first ``_MAX_WORD_CHARS`` bytes (low-order polynomial so
+    the SQL mirror's coefficient depends only on the char position,
+    never on word length). No per-word Python in the hot path: one
+    C-level join to a byte stream, one gather of coefficients, one
+    segmented ``add.reduceat`` (uint64 wraparound is the mod)."""
+    if not len(words):
+        return np.empty(0, np.uint64)
+    trunc = pd.Series(words).str.slice(0, _MAX_WORD_CHARS)
+    lens = trunc.str.len().to_numpy(np.int64)
+    stream = np.frombuffer(
+        "".join(trunc).encode("utf-8", "replace"), dtype=np.uint8
+    )
+    # non-ascii multi-byte expansion would desync offsets; the corpus
+    # contract (same as the minhash oracle) is ascii text
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos = np.arange(len(stream), dtype=np.int64) - np.repeat(starts, lens)
+    prod = stream.astype(np.uint64) * _POWS[pos]
+    out = np.zeros(len(words), dtype=np.uint64)
+    nz = lens > 0
+    out[nz] = np.add.reduceat(prod, starts[nz])
+    # splitmix64 finalizer: the raw polynomial has no avalanche (top
+    # bits cluster → HLL buckets starve); xor-shift-multiply mixes it,
+    # and every step is exactly mirrorable in SQL (xor / >> / HUGEINT
+    # mod-2^64 multiply)
+    out ^= out >> np.uint64(30)
+    out *= _MIX1
+    out ^= out >> np.uint64(27)
+    out *= _MIX2
+    out ^= out >> np.uint64(31)
+    return out
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit length (no float log2 — its rounding at 2^k
+    boundaries would break SQL parity)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = (x >> np.uint64(shift)) > 0
+        bl[m] += shift
+        x[m] >>= np.uint64(shift)
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_distinct_words(
+    docs: "rd.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """HyperLogLog estimate of the number of DISTINCT words in the
+    corpus: ``(stat, value)`` rows — ``hll_estimate`` (rounded to 3)
+    and ``hll_buckets_used``. One streamed pass emits per-batch partial
+    registers (1024 ints); the driver folds a max per register —
+    state is O(1024) at any corpus size, no shuffle at all."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df[text_col].str.split(" ")
+        counts = words.str.len().to_numpy(np.int64)
+        if not counts.sum():
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "rank": pd.Series([], dtype="int64")}
+            )
+        allw = np.concatenate([np.asarray(w, dtype=object) for w in words])
+        uniq = np.unique(allw)
+        uniq = uniq[uniq != ""]  # SQL mirror drops zero-char words too
+        h = word_hash_u64(uniq)
+        bucket = (h >> np.uint64(_LOW_BITS)).astype(np.int64)
+        low = h & np.uint64((1 << _LOW_BITS) - 1)
+        rank = np.where(low > 0, _LOW_BITS + 1 - _bit_length_u64(low), _LOW_BITS + 1)
+        out = pd.DataFrame({"bucket": bucket, "rank": rank.astype(np.int64)})
+        return out.groupby("bucket", as_index=False)["rank"].max()
+
+    reg = np.zeros(_HLL_M, dtype=np.int64)
+    for b in docs.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas"
+    ):
+        bk = b["bucket"].to_numpy(np.int64)
+        np.maximum.at(reg, bk, b["rank"].to_numpy(np.int64))
+    used = int((reg > 0).sum())
+    zeros = _HLL_M - used
+    # integer-exact register sum: Σ 2^(55-rank), empty registers rank 0
+    ssum = sum(1 << (55 - int(r)) for r in reg)  # python ints, exact
+    raw = _HLL_C / float(ssum)
+    if raw <= 2.5 * _HLL_M and zeros > 0:
+        est = _HLL_M * np.log(_HLL_M / float(zeros))
+    else:
+        est = raw
+    est = float(np.floor(est * 1e3 + 0.5) / 1e3)
+    return pa.table(
+        {
+            "stat": ["hll_estimate", "hll_buckets_used"],
+            "value": np.array([est, float(used)], dtype=np.float64),
+        }
+    )

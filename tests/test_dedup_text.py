@@ -403,3 +403,38 @@ def test_dedup_keep_canonical_longest_survives():
     # group {0,1,3}: doc 3 is longest -> canonical; 2 untouched singleton
     assert out["doc_id"].tolist() == [2, 3]
     assert out.set_index("doc_id")["group_size"].to_dict() == {2: 1, 3: 3}
+
+
+def test_hll_distinct_words_accuracy_and_exact_bitmath():
+    from neo4j_graph_algorithms_ray.pipelines.sketches import (
+        _bit_length_u64,
+        hll_distinct_words,
+        word_hash_u64,
+    )
+
+    # exact bit_length vs python int.bit_length
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 54, size=1000, dtype=np.uint64)
+    np.testing.assert_array_equal(
+        _bit_length_u64(xs), [int(x).bit_length() for x in xs]
+    )
+    # word hash matches a scalar reference implementation
+    B, M = 1099511628211, 1 << 64
+
+    def mix(x):
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) % M
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) % M
+        x ^= x >> 31
+        return x
+
+    for w in ["a", "hello", "x" * 40, "tokens"]:
+        poly = sum(b * pow(B, j, M) for j, b in enumerate(w.encode()[:32])) % M
+        assert int(word_hash_u64(np.array([w], object))[0]) == mix(poly)
+    # estimate accuracy: 5000 distinct words, sigma ~ 3.2% at p=10
+    vocab = [f"w{i:05d}" for i in range(5000)]
+    texts = [" ".join(vocab[i * 50 : (i + 1) * 50]) for i in range(100)]
+    docs = _docs(texts)
+    t = hll_distinct_words(docs).to_pandas().set_index("stat")["value"]
+    assert abs(t["hll_estimate"] - 5000) / 5000 < 0.15
