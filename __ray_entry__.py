@@ -975,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "line_dedup": _q_line_dedup,
         "hll_distinct_words": _q_hll_distinct_words,
+        "hyperanf_npairs": _q_hyperanf,
         "tfidf_top5": _q_tfidf,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
@@ -1742,6 +1743,64 @@ SELECT 'hll_estimate' AS stat, ROUND(e, 3) AS value FROM est
 UNION ALL SELECT 'hll_buckets_used', used::DOUBLE FROM est"""
 
 
+def _q_hyperanf(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.anf import hyperanf
+
+    return hyperanf(_graph(sf_dir, "bipartite"), rounds=4, directed=False)
+
+
+def _anf_sql(rounds: int = 4) -> str:
+    """Exact SQL recomputation of pipelines/anf.py hyperanf for a fixed
+    round count: splitmix64 vertex seed (32-bit-split mulmod), sparse
+    (vid, reg, val) registers max-merged through ``rounds`` unrolled
+    synchronous CTE rounds, and the identical HLL estimator (the
+    per-vertex register sum is a sum of exact powers of two well inside
+    double precision, so the small-range branch is deterministic)."""
+    from neo4j_graph_algorithms_ray.pipelines.anf import _ANF_C
+
+    def mulmod(c: int) -> str:
+        return (
+            f"((((x >> 32)::HUGEINT * {c}::HUGEINT % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT + (x & 4294967295)::HUGEINT * {c}::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    c_lit = repr(_ANF_C)
+    parts = [
+        "und AS (SELECT src AS a, dst AS b FROM edges"
+        " UNION SELECT dst, src FROM edges)",
+        "v0 AS (SELECT vid, (vid + 1)::UBIGINT AS x FROM vertices)",
+        "v1 AS (SELECT vid, xor(x, x >> 30) AS x FROM v0)",
+        f"v2 AS (SELECT vid, {mulmod(13787848793156543929)} AS x FROM v1)",
+        "v3 AS (SELECT vid, xor(x, x >> 27) AS x FROM v2)",
+        f"v4 AS (SELECT vid, {mulmod(10723151780598845931)} AS x FROM v3)",
+        "v5 AS (SELECT vid, xor(x, x >> 31) AS x FROM v4)",
+        """r0 AS (SELECT vid, (x >> 58)::BIGINT AS reg,
+  CASE WHEN (x & ((1::UBIGINT << 58) - 1)) = 0 THEN 59
+       ELSE 59 - length(bin(x & ((1::UBIGINT << 58) - 1))) END AS val
+  FROM v5)""",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""r{k} AS (SELECT vid, reg, MAX(val) AS val FROM (
+  SELECT u.b AS vid, p.reg, p.val FROM r{k - 1} p JOIN und u ON u.a = p.vid
+  UNION ALL SELECT vid, reg, val FROM r{k - 1}
+) GROUP BY vid, reg)"""
+        )
+    selects = []
+    for k in range(rounds + 1):
+        selects.append(
+            f"""SELECT {k}::BIGINT AS t, ROUND(SUM(est), 3) AS n_pairs FROM (
+  SELECT CASE WHEN ({c_lit} / ssum) <= 160.0 AND zeros > 0
+              THEN 64 * LN(64.0 / zeros) ELSE {c_lit} / ssum END AS est
+  FROM (SELECT vid, SUM(POWER(2.0, -val)) + (64 - COUNT(*)) AS ssum,
+               (64 - COUNT(*))::BIGINT AS zeros
+        FROM r{k} GROUP BY vid))"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH {_E_BIP},\n{body}\n" + "\nUNION ALL ".join(selects)
+
+
 def _minhash_groups_sql() -> str:
     """Full SQL recomputation of pipelines/dedup.py minhash_lsh_neardup
     (default 64 perms / 16 bands / threshold 0.5): the 5-char polynomial
@@ -2306,6 +2365,7 @@ SELECT v.vid, COUNT(e.src)::BIGINT AS out_deg
 FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "minhash_lsh_groups": _minhash_groups_sql(),
         "hll_distinct_words": _hll_sql(),
+        "hyperanf_npairs": _anf_sql(4),
         "dedup_keep_canonical": f"""WITH mg AS (
   SELECT * FROM ({_minhash_groups_sql()}) t
 ), memb AS (

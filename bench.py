@@ -80,6 +80,7 @@ _BENCH_QUERIES = [
     "tfidf_top5",
     "token_length_percentiles",
     "hll_distinct_words",
+    "hyperanf_npairs",
     "source_profile",
     "euclidean_pairs",
     "pearson_pairs",

@@ -59,16 +59,21 @@ def word_hash_u64(words: np.ndarray) -> np.ndarray:
     out = np.zeros(len(words), dtype=np.uint64)
     nz = lens > 0
     out[nz] = np.add.reduceat(prod, starts[nz])
-    # splitmix64 finalizer: the raw polynomial has no avalanche (top
-    # bits cluster → HLL buckets starve); xor-shift-multiply mixes it,
-    # and every step is exactly mirrorable in SQL (xor / >> / HUGEINT
-    # mod-2^64 multiply)
-    out ^= out >> np.uint64(30)
-    out *= _MIX1
-    out ^= out >> np.uint64(27)
-    out *= _MIX2
-    out ^= out >> np.uint64(31)
-    return out
+    return mix64(out)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: raw polynomial/sequential values have no
+    avalanche (top bits cluster → HLL buckets starve); xor-shift-
+    multiply mixes them, and every step is exactly mirrorable in SQL
+    (xor / >> / HUGEINT mod-2^64 multiply split into 32-bit halves)."""
+    x = x.astype(np.uint64).copy()
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:

@@ -190,3 +190,24 @@ def test_weighted_allpairs_matches_dijkstra_per_source():
         g, sources=sources[:1], max_distance=3.0
     ).to_pandas()
     assert (capped["distance"] <= 3.0).all()
+
+
+def test_hyperanf_tracks_exact_neighborhood_function():
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.pipelines.anf import hyperanf
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    # ring of 64 vertices: ball(v, t) = 2t+1 exactly, N(t) = 64*(2t+1)
+    n = 64
+    src = np.arange(n, dtype=np.int64)
+    dst = (src + 1) % n
+    g = GraphTables.from_arrays(src, dst)
+    t = hyperanf(g, rounds=4, directed=False).to_pandas().set_index("t")["n_pairs"]
+    for k in range(5):
+        exact = n * (2 * k + 1)
+        # HLL sigma at m=64 is ~13%; the SUM over 64 vertices keeps the
+        # relative error of the total well inside that
+        assert abs(t[k] - exact) / exact < 0.25, (k, t[k], exact)
+    # monotone in t
+    assert (np.diff(t.to_numpy()) >= 0).all()
