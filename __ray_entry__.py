@@ -976,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "hll_distinct_words": _q_hll_distinct_words,
         "hyperanf_npairs": _q_hyperanf,
+        "cms_top_words": _q_cms_top_words,
         "tfidf_top5": _q_tfidf,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
@@ -1675,6 +1676,86 @@ def _q_hll_distinct_words(sf_dir: str) -> Any:
     return hll_distinct_words(_docs(sf_dir))
 
 
+def _q_cms_top_words(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.sketches import cms_top_words
+
+    return cms_top_words(_docs(sf_dir), k=20)
+
+
+def _mix_chain_ctes(prefix: str, src: str, carry: str = "wd") -> list[str]:
+    """CTE list applying the splitmix64 finalizer to column ``x`` of
+    ``src``, carrying ``carry`` through; final table is ``{prefix}h``.
+    Multiplications are split into 32-bit halves (INT128 ceiling)."""
+
+    def mulmod(c: int) -> str:
+        return (
+            f"((((x >> 32)::HUGEINT * {c}::HUGEINT % 4294967296::HUGEINT)"
+            f" * 4294967296::HUGEINT + (x & 4294967295)::HUGEINT * {c}::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    return [
+        f"{prefix}a AS (SELECT {carry}, xor(x, x >> 30) AS x FROM {src})",
+        f"{prefix}b AS (SELECT {carry}, {mulmod(13787848793156543929)} AS x FROM {prefix}a)",
+        f"{prefix}c AS (SELECT {carry}, xor(x, x >> 27) AS x FROM {prefix}b)",
+        f"{prefix}d AS (SELECT {carry}, {mulmod(10723151780598845931)} AS x FROM {prefix}c)",
+        f"{prefix}h AS (SELECT {carry}, xor(x, x >> 31) AS x FROM {prefix}d)",
+    ]
+
+
+def _cms_sql(k: int = 20) -> str:
+    """Exact SQL recomputation of pipelines/sketches.py cms_top_words:
+    word hashes (polynomial + splitmix64, as in ``_hll_sql``), per-row
+    counter columns mix64(hash xor seed) % 2048, counters as exact
+    integer sums, estimate = MIN over the 4 rows — no floats at all."""
+    from neo4j_graph_algorithms_ray.pipelines.sketches import _CMS_SEEDS, _CMS_W, _POWS
+
+    pw_rows = ",".join(f"({j + 1},{int(_POWS[j])})" for j in range(len(_POWS)))
+    ctes = [
+        """w AS (SELECT string_split(text, ' ') AS l FROM documents)""",
+        """pos AS (SELECT l[i] AS wd
+  FROM (SELECT l, unnest(generate_series(1, len(l))) AS i FROM w)
+  WHERE length(l[i]) > 0)""",
+        "tf AS (SELECT wd, COUNT(*)::BIGINT AS cnt FROM pos GROUP BY wd)",
+        "chars AS (SELECT wd, unnest(generate_series(1, LEAST(length(wd), 32))) AS j FROM tf)",
+        f"pw(j, c) AS (VALUES {pw_rows})",
+        """p0 AS (SELECT wd,
+  ((SUM(ascii(substr(wd, j, 1))::HUGEINT * c::HUGEINT))
+   % 18446744073709551616::HUGEINT)::UBIGINT AS x
+  FROM chars JOIN pw USING (j) GROUP BY wd)""",
+    ]
+    ctes += _mix_chain_ctes("wh", "p0")  # whh = final word hash
+    col_tables = []
+    for r, seed in enumerate(_CMS_SEEDS):
+        ctes.append(
+            f"s{r}0 AS (SELECT wd, xor(x, {seed}::UBIGINT) AS x FROM whh)"
+        )
+        ctes += _mix_chain_ctes(f"s{r}", f"s{r}0")
+        ctes.append(
+            f"col{r} AS (SELECT wd, (x % {_CMS_W})::BIGINT AS col FROM s{r}h)"
+        )
+        ctes.append(
+            f"ctr{r} AS (SELECT c.col, SUM(t.cnt)::BIGINT AS v"
+            f" FROM col{r} c JOIN tf t USING (wd) GROUP BY c.col)"
+        )
+        col_tables.append(r)
+    mins = ", ".join(f"v{r}.v" for r in col_tables)
+    joins = " ".join(
+        f"JOIN col{r} c{r} ON c{r}.wd = t.wd"
+        f" JOIN ctr{r} v{r} ON v{r}.col = c{r}.col"
+        for r in col_tables
+    )
+    ctes.append(
+        f"est AS (SELECT t.wd AS word, LEAST({mins})::BIGINT AS est_count"
+        f" FROM tf t {joins})"
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\nSELECT word, est_count FROM est"
+        f" ORDER BY est_count DESC, word LIMIT {k}"
+    )
+
+
 def _hll_sql() -> str:
     """Exact SQL recomputation of pipelines/sketches.py
     hll_distinct_words: same polynomial word hash (coefficient table
@@ -2366,6 +2447,7 @@ FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "minhash_lsh_groups": _minhash_groups_sql(),
         "hll_distinct_words": _hll_sql(),
         "hyperanf_npairs": _anf_sql(4),
+        "cms_top_words": _cms_sql(20),
         "dedup_keep_canonical": f"""WITH mg AS (
   SELECT * FROM ({_minhash_groups_sql()}) t
 ), memb AS (

@@ -81,6 +81,7 @@ _BENCH_QUERIES = [
     "token_length_percentiles",
     "hll_distinct_words",
     "hyperanf_npairs",
+    "cms_top_words",
     "source_profile",
     "euclidean_pairs",
     "pearson_pairs",

@@ -438,3 +438,16 @@ def test_hll_distinct_words_accuracy_and_exact_bitmath():
     docs = _docs(texts)
     t = hll_distinct_words(docs).to_pandas().set_index("stat")["value"]
     assert abs(t["hll_estimate"] - 5000) / 5000 < 0.15
+
+
+def test_cms_never_undercounts_and_finds_heavy_hitters():
+    from neo4j_graph_algorithms_ray.pipelines.sketches import cms_top_words
+
+    # heavy hitter "zipf0" (500x), mid "zipf1" (50x), long tail
+    texts = [" ".join(["zipf0"] * 5 + ["zipf1"] + [f"tail{i}_{j}" for j in range(3)]) for i in range(100)]
+    out = cms_top_words(_docs(texts), k=5).to_pandas().set_index("word")["est_count"]
+    assert out.index[0] == "zipf0" and out.iloc[0] >= 500  # CM upper bound
+    assert out.index[1] == "zipf1" and out.iloc[1] >= 100
+    # with 302 distinct words in 4x2048 counters, collisions are rare:
+    # estimates should be close to exact
+    assert out.iloc[0] <= 520 and out.iloc[1] <= 120
