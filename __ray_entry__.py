@@ -977,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_words": _q_hll_distinct_words,
         "hyperanf_npairs": _q_hyperanf,
         "cms_top_words": _q_cms_top_words,
+        "effective_diameter": _q_eff_diameter,
         "tfidf_top5": _q_tfidf,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
@@ -1674,6 +1675,14 @@ def _q_hll_distinct_words(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.sketches import hll_distinct_words
 
     return hll_distinct_words(_docs(sf_dir))
+
+
+def _q_eff_diameter(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.anf import effective_diameter
+
+    return effective_diameter(
+        _graph(sf_dir, "bipartite"), rounds=6, alpha=0.9, directed=False
+    )
 
 
 def _q_cms_top_words(sf_dir: str) -> Any:
@@ -2448,6 +2457,13 @@ FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "hll_distinct_words": _hll_sql(),
         "hyperanf_npairs": _anf_sql(4),
         "cms_top_words": _cms_sql(20),
+        "effective_diameter": f"""WITH anf AS (
+  SELECT * FROM ({_anf_sql(6)}) t
+), fin AS (SELECT n_pairs AS nf FROM anf WHERE t = 6)
+SELECT
+  (SELECT MIN(anf.t) FROM anf, fin
+   WHERE anf.n_pairs >= 0.9 * fin.nf)::BIGINT AS eff_diameter,
+  (SELECT nf FROM fin) AS n_pairs_final""",
         "dedup_keep_canonical": f"""WITH mg AS (
   SELECT * FROM ({_minhash_groups_sql()}) t
 ), memb AS (

@@ -90,6 +90,28 @@ def _anf_task(n: int, vids: np.ndarray, rounds: int, csr) -> pd.DataFrame:
     return pd.DataFrame({"t": np.array(out_t, dtype=np.int64), "n_pairs": out_n})
 
 
+def effective_diameter(
+    graph: GraphTables,
+    rounds: int = 8,
+    alpha: float = 0.9,
+    directed: bool = False,
+) -> pa.Table:
+    """HyperANF's headline statistic: the smallest t whose estimated
+    neighborhood function reaches ``alpha`` of the final round's —
+    one ``(eff_diameter, n_pairs_final)`` row (integer t, so no
+    interpolation ambiguity against the SQL mirror)."""
+    t = hyperanf(graph, rounds=rounds, directed=directed)
+    n = t["n_pairs"].to_numpy()
+    target = alpha * n[-1]
+    d = int(np.argmax(n >= target))  # first index meeting the target
+    return pa.table(
+        {
+            "eff_diameter": np.array([d], dtype=np.int64),
+            "n_pairs_final": np.array([n[-1]], dtype=np.float64),
+        }
+    )
+
+
 def hyperanf(
     graph: GraphTables, rounds: int = 4, directed: bool = False
 ) -> pa.Table:

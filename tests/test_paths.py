@@ -211,3 +211,19 @@ def test_hyperanf_tracks_exact_neighborhood_function():
         assert abs(t[k] - exact) / exact < 0.25, (k, t[k], exact)
     # monotone in t
     assert (np.diff(t.to_numpy()) >= 0).all()
+
+
+def test_effective_diameter_star_is_short():
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.pipelines.anf import effective_diameter
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    # star: every vertex within 2 hops of every other -> d_eff <= 2
+    n = 32
+    src = np.zeros(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    t = effective_diameter(g, rounds=4, directed=False).to_pandas()
+    assert int(t["eff_diameter"].iloc[0]) <= 2
+    assert t["n_pairs_final"].iloc[0] > n  # far beyond the t=0 diagonal
