@@ -343,6 +343,12 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(_docs(sf_dir), cap=20)
 
 
+def _q_weighted_sample(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.sampling import weighted_sample
+
+    return weighted_sample(_docs(sf_dir), alpha=0.3, scale=0.5)
+
+
 def _q_rebalance_weights(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.sampling import rebalance_weights
 
@@ -984,6 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "events_asof_attribution": _q_events_asof,
         "rebalance_weights": _q_rebalance_weights,
+        "weighted_sample": _q_weighted_sample,
     }
 
 
@@ -2152,6 +2159,18 @@ GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""",
   FROM h
 )
 SELECT doc_id, lang FROM r WHERE rn <= 20""",
+        "weighted_sample": """WITH c AS (
+  SELECT lang, COUNT(*)::DOUBLE AS n_s FROM documents GROUP BY lang
+), tot AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+thr AS (
+  SELECT lang,
+    FLOOR(LEAST(ROUND(POWER(c.n_s / tot.n, -0.7), 6) * 0.5, 1.0)
+          * 4294967296.0)::BIGINT AS lim
+  FROM c CROSS JOIN tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE (d.doc_id * 2654435761) % 4294967296 < thr.lim""",
         "rebalance_weights": """WITH c AS (
   SELECT lang, COUNT(*)::DOUBLE AS n_s FROM documents GROUP BY lang
 ), tot AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)

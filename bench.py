@@ -75,6 +75,7 @@ _BENCH_QUERIES = [
     "pack_sequences",
     "events_asof_attribution",
     "rebalance_weights",
+    "weighted_sample",
     "line_dedup",
     "dedup_keep_canonical",
     "tfidf_top5",

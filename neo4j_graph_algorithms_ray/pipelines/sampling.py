@@ -116,3 +116,54 @@ def stratified_sample(
         .repartition(shuffle_width(), keys=["stratum"])
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def weighted_sample(
+    docs: "rd.Dataset",
+    alpha: float = 0.3,
+    scale: float = 0.5,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> "rd.Dataset":
+    """The sampling decision that operationalizes
+    :func:`rebalance_weights`: keep each doc with per-stratum
+    probability ``min(scale · (n_s/N)^(alpha-1), 1)``, derandomized by
+    the splittable doc_id hash — deterministic, order-independent,
+    resume-stable (re-running keeps exactly the same docs). The
+    comparison is INTEGER (``hash < floor(p·2^32)`` with p built from
+    the 6-decimal-rounded weight), so the SQL mirror is exact with no
+    float-boundary hazard. Same two-phase shape as
+    :func:`rebalance_weights`: tiny stratum histogram fold +
+    broadcast, one streamed filter pass, no shuffle."""
+    import ray
+
+    hist: dict = {}
+    for b in docs.map_batches(
+        lambda df: df.groupby(stratum_col, as_index=False).size(),
+        batch_format="pandas",
+    ).iter_batches(batch_format="pandas"):
+        for k, v in zip(b[stratum_col], b["size"]):
+            hist[k] = hist.get(k, 0) + int(v)
+    total = float(sum(hist.values())) or 1.0
+    thr = {}
+    for k, v in hist.items():
+        w = float(np.floor((v / total) ** (alpha - 1.0) * 1e6 + 0.5) / 1e6)
+        p = min(w * scale, 1.0)
+        thr[k] = int(np.floor(p * 4294967296.0))
+    t_ref = ray.put(thr)
+
+    def keep(df: pd.DataFrame, _t=t_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        t = _ray.get(_t)
+        hv = _sample_hash(df[id_col].to_numpy(np.int64))
+        lim = df[stratum_col].map(t).to_numpy(np.int64)
+        m = hv < lim
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(np.int64)[m],
+                stratum_col: df[stratum_col].to_numpy()[m],
+            }
+        )
+
+    return docs.map_batches(keep, batch_format="pandas")

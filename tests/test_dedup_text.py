@@ -451,3 +451,25 @@ def test_cms_never_undercounts_and_finds_heavy_hitters():
     # with 302 distinct words in 4x2048 counters, collisions are rare:
     # estimates should be close to exact
     assert out.iloc[0] <= 520 and out.iloc[1] <= 120
+
+
+def test_weighted_sample_deterministic_and_rate_scaled():
+    from neo4j_graph_algorithms_ray.pipelines.sampling import weighted_sample
+
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["t"] * n,
+            # 90% en / 10% fr: temperature sampling must keep fr at a
+            # HIGHER rate than en
+            "lang": ["en" if i % 10 else "fr" for i in range(n)],
+        }
+    )
+    docs = rd.from_pandas(df).repartition(5)
+    out = weighted_sample(docs, alpha=0.3, scale=0.5).to_pandas()
+    rates = out.groupby("lang").size() / df.groupby("lang").size()
+    assert rates["fr"] > rates["en"] > 0.3
+    # deterministic: same selection on re-run and independent of blocking
+    out2 = weighted_sample(rd.from_pandas(df), alpha=0.3, scale=0.5).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
