@@ -412,6 +412,49 @@ def _q_events_asof(sf_dir: str) -> Any:
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _q_events_interval(sf_dir: str) -> Any:
+    """Range join: each purchase matched to every 7-day window opened
+    by a signup of the same user (interval containment, inclusive)."""
+    from neo4j_graph_algorithms_ray.pipelines.joins import interval_join
+
+    ev = _events(sf_dir)
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def purchases(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "value": df["value"].to_numpy(np.float64),
+            }
+        )
+
+    def signups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "signup"]
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "w_start": t,
+                "w_end": t + week_us,
+                "signup_value": df["value"].to_numpy(np.float64),
+            }
+        )
+
+    return interval_join(
+        ev.map_batches(purchases, batch_format="pandas"),
+        ev.map_batches(signups, batch_format="pandas"),
+        on="ts_us",
+        by="user_id",
+        start="w_start",
+        end="w_end",
+        left_cols=["event_id", "value"],
+        right_cols=["signup_value"],
+    )
+
+
 def _q_pack_sequences(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.packing import pack_sequences
 
@@ -989,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_profile": _q_source_profile,
         "pack_sequences": _q_pack_sequences,
         "events_asof_attribution": _q_events_asof,
+        "events_interval_join": _q_events_interval,
         "rebalance_weights": _q_rebalance_weights,
         "weighted_sample": _q_weighted_sample,
     }
@@ -2185,6 +2229,19 @@ FROM documents d JOIN c USING (lang) CROSS JOIN tot""",
 SELECT l.event_id, l.user_id, l.value, r.signup_value,
   (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT AS lag_us
 FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_interval_join": """WITH l AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, value
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS w_start,
+         (epoch_us(ts) + 604800000000)::BIGINT AS w_end,
+         value AS signup_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT l.user_id, l.ts_us, l.event_id, l.value,
+       r.w_start, r.w_end, r.signup_value
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts_us BETWEEN r.w_start AND r.w_end""",
         "pack_sequences": r"""WITH t AS (
   SELECT doc_id, length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
   FROM documents

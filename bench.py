@@ -74,6 +74,7 @@ _BENCH_QUERIES = [
     "pii_scrub",
     "pack_sequences",
     "events_asof_attribution",
+    "events_interval_join",
     "rebalance_weights",
     "weighted_sample",
     "line_dedup",

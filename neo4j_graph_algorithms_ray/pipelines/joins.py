@@ -117,3 +117,91 @@ def asof_join(
     return combined.repartition(width or shuffle_width(), keys=[by]).map_batches(
         fold, batch_format="pandas", batch_size=None
     )
+
+
+def interval_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    by: str,
+    start: str,
+    end: str,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+    width: Optional[int] = None,
+) -> "rd.Dataset":
+    """Range (interval-containment) join: one output row per (left
+    row, right interval) pair of the same ``by`` key with
+    ``start <= on <= end`` — the temporal complement of
+    :func:`asof_join` (SQL: ``JOIN ON l.by = r.by AND l.on BETWEEN
+    r.start AND r.end``). Left rows matching no interval are dropped
+    (inner semantics).
+
+    Same partitioning contract and dataflow as :func:`asof_join`:
+    both sides project to (by, key-fields, payload), a tagged union
+    flows through ONE hash repartition on ``by``, and the per-block
+    fold is a whole-column pandas merge + mask. Interval fan-out is
+    bounded by intervals-per-key (sessions, windows), not corpus size.
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap or {on, by, start, end} & (set(left_cols) | set(right_cols)):
+        raise ValueError(f"payload columns must be disjoint and exclude keys: {overlap}")
+
+    l_schema, r_schema = left.schema(), right.schema()
+
+    def typ(schema, name):
+        base = schema.base_schema
+        if hasattr(base, "field"):  # pyarrow.Schema
+            return base.field(name).type
+        dt = dict(zip(base.names, base.types))[name]
+        try:
+            return pa.from_numpy_dtype(dt)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    fields = (
+        [(by, typ(l_schema, by)), (on, typ(l_schema, on)), (_SIDE, pa.int8())]
+        + [(c, typ(l_schema, c)) for c in left_cols]
+        + [(start, typ(r_schema, start)), (end, typ(r_schema, end))]
+        + [(c, typ(r_schema, c)) for c in right_cols]
+    )
+
+    def norm(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name, ty in fields:
+                if name == _SIDE:
+                    cols[name] = pa.array(np.full(len(t), side, np.int8))
+                elif name in t.column_names:
+                    cols[name] = t[name].cast(ty)
+                else:
+                    cols[name] = pa.nulls(len(t), ty)
+            return pa.table(cols)
+
+        return f
+
+    combined = (
+        left.select_columns([by, on, *left_cols])
+        .map_batches(norm(0), batch_format="pyarrow")
+        .union(
+            right.select_columns([by, start, end, *right_cols]).map_batches(
+                norm(1), batch_format="pyarrow"
+            )
+        )
+    )
+    out_cols = [by, on, *left_cols, start, end, *right_cols]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df[_SIDE] == 0][[by, on, *left_cols]]
+        rhs = df[df[_SIDE] == 1][[by, start, end, *right_cols]]
+        if not len(lhs) or not len(rhs):
+            return pd.DataFrame({c: pd.Series([], dtype="float64") for c in out_cols})
+        pairs = lhs.merge(rhs, on=by)
+        mask = (pairs[on] >= pairs[start]) & (pairs[on] <= pairs[end])
+        return pairs[mask][out_cols].reset_index(drop=True)
+
+    from ..state.partitioning import shuffle_width as _sw
+
+    return combined.repartition(width or _sw(), keys=[by]).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )

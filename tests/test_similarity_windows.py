@@ -334,3 +334,37 @@ def test_funnel_strictly_ordered_first_touch():
     assert out.loc[1, "time_to_convert_us"] == 4_000_000
     assert out.loc[4, "time_to_convert_us"] == 3_000_000
     assert out.loc[2, "time_to_convert_us"] == -1
+
+
+def test_interval_join_containment_inclusive():
+    from neo4j_graph_algorithms_ray.pipelines.joins import interval_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "t": np.array([5, 10, 20, 7], dtype=np.int64),
+            "eid": np.array([100, 101, 102, 103], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "s": np.array([0, 8, 50], dtype=np.int64),
+            "e": np.array([10, 15, 60], dtype=np.int64),
+            "w": np.array([1.0, 2.0, 3.0]),
+        }
+    )
+    out = (
+        interval_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="t", by="user_id", start="s", end="e",
+            left_cols=["eid"], right_cols=["w"],
+        )
+        .to_pandas()
+        .sort_values(["eid", "s"])
+        .reset_index(drop=True)
+    )
+    # t=5 in [0,10]; t=10 in BOTH [0,10] (inclusive end) and [8,15];
+    # t=20 in none; user 2's t=7 not in [50,60]
+    assert list(zip(out.eid, out.w)) == [(100, 1.0), (101, 1.0), (101, 2.0)]
