@@ -99,3 +99,79 @@ def test_interval_join_matches_duckdb(ray_session, l, r):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["u", "t", "a", "s", "e", "w"]], want)
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["A", "B", "C", "dup line", "x y"]),
+        min_size=1,
+        max_size=5,
+    ).map("\n".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(t=texts)
+def test_line_dedup_matches_duckdb_rownumber(ray_session, t):
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import line_dedup
+
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(t), dtype=np.int64), "text": t}
+    )
+    out = (
+        line_dedup(_ds(docs, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        """WITH ln AS (
+  SELECT doc_id, (i - 1)::BIGINT AS line_no, l[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l,
+               unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        FROM documents)
+), rk AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM ln)
+SELECT doc_id,
+  COALESCE(string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE rn = 1), '') AS text,
+  (COUNT(*) FILTER (WHERE rn = 1))::BIGINT AS n_kept,
+  (COUNT(*) FILTER (WHERE rn > 1))::BIGINT AS n_dropped
+FROM rk GROUP BY doc_id ORDER BY doc_id"""
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "text", "n_kept", "n_dropped"]], want, check_dtype=False
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=20),
+    budget=st.integers(min_value=1, max_value=8),
+)
+def test_pack_sequences_matches_window_cumsum(ray_session, toks, budget):
+    from neo4j_graph_algorithms_ray.pipelines.packing import pack_sequences
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(toks), dtype=np.int64),
+            "text": [" ".join(["w"] * n) if n else "" for n in toks],
+        }
+    )
+    out = (
+        pack_sequences(_ds(docs, 3), budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n = np.array(toks, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(n)[:-1]])
+    np.testing.assert_array_equal(out["n_tokens"].to_numpy(), n)
+    np.testing.assert_array_equal(out["tok_offset"].to_numpy(), off)
+    np.testing.assert_array_equal(out["bin_id"].to_numpy(), off // budget)
+    np.testing.assert_array_equal(out["bin_pos"].to_numpy(), off % budget)
