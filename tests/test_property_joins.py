@@ -175,3 +175,67 @@ def test_pack_sequences_matches_window_cumsum(ray_session, toks, budget):
     np.testing.assert_array_equal(out["tok_offset"].to_numpy(), off)
     np.testing.assert_array_equal(out["bin_id"].to_numpy(), off // budget)
     np.testing.assert_array_equal(out["bin_pos"].to_numpy(), off % budget)
+
+
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=edges_st)
+def test_wcc_matches_duckdb_on_random_graphs(ray_session, e):
+    from neo4j_graph_algorithms_ray.pipelines.components import wcc
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = wcc(g)
+    got = dict(zip(g.vids.tolist(), res.components.tolist()))
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame({"src": src, "dst": dst}))
+    want = con.sql(
+        """WITH RECURSIVE vertices AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+), und AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+lbl AS (
+  SELECT v AS vid, v AS label FROM vertices
+  UNION
+  SELECT u.b AS vid, l.label FROM lbl l JOIN und u ON u.a = l.vid
+)
+SELECT vid, MIN(label) AS c FROM lbl GROUP BY vid"""
+    ).df()
+    assert got == dict(zip(want["vid"].tolist(), want["c"].tolist()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=edges_st)
+def test_triangle_count_matches_duckdb_on_random_graphs(ray_session, e):
+    from neo4j_graph_algorithms_ray.pipelines.triangles import triangle_count
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    keep = src != dst  # canonical undirected graph: no self-loops
+    if not keep.any():
+        return
+    g = GraphTables.from_arrays(src[keep], dst[keep])
+    got = triangle_count(g).triangle_count
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame({"src": src[keep], "dst": dst[keep]}))
+    want = con.sql(
+        """WITH und AS (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v FROM edges
+  WHERE src <> dst GROUP BY 1, 2
+)
+SELECT COUNT(*) FROM und e1
+JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v"""
+    ).fetchone()[0]
+    assert got == want, (got, want)
