@@ -239,3 +239,59 @@ JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
 JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v"""
     ).fetchone()[0]
     assert got == want, (got, want)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=edges_st)
+def test_scc_matches_duckdb_on_random_digraphs(ray_session, e):
+    from neo4j_graph_algorithms_ray.pipelines.components import scc
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = scc(g)
+    got = dict(zip(g.vids.tolist(), res.components.tolist()))
+    con = duckdb.connect()
+    con.register("edges", pd.DataFrame({"src": src, "dst": dst}))
+    want = con.sql(
+        """WITH RECURSIVE vertices AS (
+  SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION SELECT dst FROM edges)
+), reach AS (
+  SELECT v AS s, v AS t FROM vertices
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON e.src = r.t
+)
+SELECT a.s AS vid, MIN(a.t) AS c
+FROM reach a JOIN reach b ON b.s = a.t AND b.t = a.s
+GROUP BY a.s"""
+    ).df()
+    assert got == dict(zip(want["vid"].tolist(), want["c"].tolist()))
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=edges_st)
+def test_pagerank_matches_dense_recurrence_on_random_graphs(ray_session, e):
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import PageRankConfig, pagerank
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = pagerank(g, PageRankConfig(fixed_iterations=5))
+    # dense reference recurrence (the pinned unnormalized semantics:
+    # per-node base (1-d) with NO 1/n normalization, dangling mass
+    # NOT redistributed)
+    n = g.n
+    vid_to_i = {v: i for i, v in enumerate(g.vids.tolist())}
+    out_deg = np.zeros(n)
+    for a in src:
+        out_deg[vid_to_i[a]] += 1
+    r = np.full(n, 1.0 - 0.85)
+    for _ in range(5):
+        contrib = np.zeros(n)
+        for a, b in zip(src, dst):
+            ia, ib = vid_to_i[a], vid_to_i[b]
+            contrib[ib] += r[ia] / out_deg[ia]
+        r = (1 - 0.85) + 0.85 * contrib
+    np.testing.assert_allclose(res.ranks, r, atol=1e-12)
