@@ -32,9 +32,15 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m neo4j_graph_algorithms_ray")
     p.add_argument(
         "pipeline",
-        choices=["pagerank", "wcc", "lpa", "triangle_count", "degree"],
+        choices=[
+            "pagerank", "wcc", "lpa", "triangle_count", "degree",
+            # corpus-curation pipelines (take --docs, emit parquet rows)
+            "clean_corpus", "line_dedup", "dedup_keep_canonical",
+            "pack_sequences", "weighted_sample", "pii_scrub",
+        ],
     )
-    p.add_argument("--edges", required=True, help="edge parquet path/dir")
+    p.add_argument("--edges", default=None, help="edge parquet path/dir (graph pipelines)")
+    p.add_argument("--docs", default=None, help="documents parquet path/dir (curation pipelines)")
     p.add_argument("--src", default="src")
     p.add_argument("--dst", default="dst")
     p.add_argument("--weight", default=None)
@@ -65,6 +71,59 @@ def main(argv=None) -> int:
             ignore_reinit_error=True,
         )
     import ray.data as rd
+
+    _DOC_PIPELINES = {
+        "clean_corpus", "line_dedup", "dedup_keep_canonical",
+        "pack_sequences", "weighted_sample", "pii_scrub",
+    }
+    if args.pipeline in _DOC_PIPELINES:
+        if not args.docs:
+            print("--docs is required for curation pipelines", file=sys.stderr)
+            return 2
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(args.docs)
+        if args.pipeline == "clean_corpus":
+            from .pipelines.text_analysis import clean_corpus
+
+            res = clean_corpus(docs)
+        elif args.pipeline == "line_dedup":
+            from .pipelines.text_analysis import line_dedup
+
+            res = line_dedup(docs)
+        elif args.pipeline == "dedup_keep_canonical":
+            from .pipelines.dedup import dedup_keep_canonical
+
+            res = dedup_keep_canonical(docs)
+        elif args.pipeline == "pack_sequences":
+            from .pipelines.packing import pack_sequences
+
+            res = pack_sequences(docs)
+        elif args.pipeline == "weighted_sample":
+            from .pipelines.sampling import weighted_sample
+
+            res = weighted_sample(docs)
+        else:
+            from .pipelines.text_analysis import pii_scrub
+
+            res = pii_scrub(docs)
+        res.write_parquet(args.out)
+        t_all = time.perf_counter() - t0
+        rows = rd.read_parquet(args.out).count()  # parquet-metadata count
+        print(
+            json.dumps(
+                {
+                    "pipeline": args.pipeline,
+                    "rows": rows,
+                    "total_sec": round(t_all, 3),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
+
+    if not args.edges:
+        print("--edges is required for graph pipelines", file=sys.stderr)
+        return 2
 
     from .state.checkpoint import CheckpointConfig
     from .state.graph import GraphTables
