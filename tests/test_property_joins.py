@@ -295,3 +295,60 @@ def test_pagerank_matches_dense_recurrence_on_random_graphs(ray_session, e):
             contrib[ib] += r[ia] / out_deg[ia]
         r = (1 - 0.85) + 0.85 * contrib
     np.testing.assert_allclose(res.ranks, r, atol=1e-12)
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user
+        st.integers(min_value=0, max_value=8),            # second
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(e=events_st)
+def test_funnel_matches_duckdb_chained_min_after(ray_session, e):
+    from neo4j_graph_algorithms_ray.pipelines.windows import funnel
+
+    ev = pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in e], dtype=np.int64),
+            "ts": pd.to_datetime([f"2024-01-01 00:00:{r[1]:02d}" for r in e]),
+            "event_type": [r[2] for r in e],
+        }
+    )
+    out = funnel(_ds(ev), steps=["view", "click", "purchase"]).to_pandas()
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.sql(
+        """WITH base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, MIN(epoch_us(ts))::BIGINT AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts))::BIGINT AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts))::BIGINT AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY e.user_id
+)
+SELECT b.user_id,
+  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS steps_completed,
+  (t3 IS NOT NULL)::BIGINT AS converted,
+  COALESCE(t3 - t1, -1)::BIGINT AS time_to_convert_us
+FROM base b LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id) ORDER BY user_id"""
+    ).df().reset_index(drop=True)
+    if not len(want):
+        assert not len(out)
+        return
+    out = out.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
