@@ -212,9 +212,24 @@ def run_queries() -> dict:
     return out
 
 
+def _cpu_calibration_sec() -> float:
+    """Single-core 1500^2 matmul wall time. This VM is intermittently
+    hypervisor-throttled to a few percent of a core (observed range
+    0.15 s healthy to >20 s throttled); recording the calibration with
+    every bench run makes a throttled measurement self-documenting
+    instead of silently corrupting cross-round comparisons."""
+    import numpy as np
+
+    a = np.ones((1500, 1500))
+    t0 = time.perf_counter()
+    a @ a
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     import ray
 
+    calib = _cpu_calibration_sec()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -236,6 +251,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": NUM_CPUS,
+        "cpu_calibration_sec": calib,
         "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
     }
     print(json.dumps(result))
