@@ -352,3 +352,41 @@ LEFT JOIN s3 USING (user_id) ORDER BY user_id"""
         return
     out = out.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=30, unique=True
+    ),
+    cap=st.integers(min_value=1, max_value=5),
+)
+def test_stratified_sample_matches_duckdb_rownumber(ray_session, ids, cap):
+    from neo4j_graph_algorithms_ray.pipelines.sampling import stratified_sample
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": ["t"] * len(ids),
+            "lang": ["ab"[i % 2] for i in ids],
+        }
+    )
+    out = (
+        stratified_sample(_ds(docs), cap=cap)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(
+        f"""WITH h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hv FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= {cap} ORDER BY doc_id"""
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["doc_id", "lang"]], want, check_dtype=False)
