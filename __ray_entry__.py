@@ -1027,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_npairs": _q_hyperanf,
         "cms_top_words": _q_cms_top_words,
         "effective_diameter": _q_eff_diameter,
+        "kmeans_clusters": _q_kmeans_clusters,
         "tfidf_top5": _q_tfidf,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
@@ -1653,6 +1654,33 @@ def _lsh_topk_sql() -> str:
 SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
 
 
+def _lloyd_parts(K: int, T: int, DIM: int) -> list[str]:
+    """The shared Lloyd-sweep CTE chain (``e``, ``c0``..``c{T}``,
+    ``afin`` = final per-vector cell assignment) used by both the
+    ivf_topk and kmeans_clusters oracles."""
+    parts = _lloyd_sweep_ctes(K, T, DIM)
+    parts.append(
+        f"""afin AS MATERIALIZED (
+  SELECT vec_id, v, cl FROM (
+    SELECT e.vec_id, e.v, c.cl,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_distance(e.v, c.c), c.cl) AS rn
+    FROM e, c{T} c
+  ) WHERE rn = 1
+)"""
+    )
+    return parts
+
+
+def _kmeans_sql(K: int = 16, T: int = 4, DIM: int = 64) -> str:
+    """Unrolled recomputation of pipelines/similarity.py
+    kmeans_clusters: the same Lloyd sweeps, final assignment only."""
+    return (
+        f"WITH {','.join(_lloyd_parts(K, T, DIM))}\n"
+        "SELECT vec_id, cl AS cluster FROM afin"
+    )
+
+
 def _ivf_topk_sql(K: int = 16, T: int = 4, NP: int = 2, DIM: int = 64) -> str:
     """Unrolled recomputation of pipelines/similarity.py ivf_topk: the
     same ``T`` Lloyd sweeps (init = embeddings of the K smallest
@@ -1660,6 +1688,32 @@ def _ivf_topk_sql(K: int = 16, T: int = 4, NP: int = 2, DIM: int = 64) -> str:
     means rounded to the 1e-6 grid that keeps numpy and SQL summation
     orders bit-aligned), then exact cosine ranking within each query's
     NP probed cells."""
+    parts = _lloyd_parts(K, T, DIM)
+    return f"""WITH {','.join(parts)},
+probed AS (
+  SELECT query_id, cl FROM (
+    SELECT q.vec_id AS query_id, c.cl,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_distance(q.v, c.c), c.cl) AS rn
+    FROM e q, c{T} c WHERE q.vec_id IN (0, 1, 2, 3)
+  ) WHERE rn <= {NP}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, q.v) AS sim
+  FROM probed p
+  JOIN afin a ON a.cl = p.cl
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
+
+
+def _lloyd_sweep_ctes(K: int, T: int, DIM: int) -> list[str]:
     parts = [
         f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c0 AS MATERIALIZED (
@@ -1690,36 +1744,13 @@ c{it} AS MATERIALIZED (
   WHERE p.cl NOT IN (SELECT DISTINCT cl FROM a{it})
 )"""
         )
-    return f"""WITH {','.join(parts)},
-afin AS MATERIALIZED (
-  SELECT vec_id, v, cl FROM (
-    SELECT e.vec_id, e.v, c.cl,
-      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_distance(e.v, c.c), c.cl) AS rn
-    FROM e, c{T} c
-  ) WHERE rn = 1
-),
-probed AS (
-  SELECT query_id, cl FROM (
-    SELECT q.vec_id AS query_id, c.cl,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                         ORDER BY list_distance(q.v, c.c), c.cl) AS rn
-    FROM e q, c{T} c WHERE q.vec_id IN (0, 1, 2, 3)
-  ) WHERE rn <= {NP}
-),
-cand AS (
-  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, q.v) AS sim
-  FROM probed p
-  JOIN afin a ON a.cl = p.cl
-  JOIN e q ON q.vec_id = p.query_id
-  WHERE a.vec_id <> p.query_id
-),
-ranked AS (
-  SELECT query_id, vec_id, sim,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
-  FROM cand
-)
-SELECT query_id, vec_id, rank, ROUND(sim, 4) AS sim FROM ranked WHERE rank <= 5"""
+    return parts
+
+
+def _q_kmeans_clusters(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import kmeans_clusters
+
+    return kmeans_clusters(_emb(sf_dir), n_centroids=16, train_iters=4)
 
 
 def _q_hll_distinct_words(sf_dir: str) -> Any:
@@ -2533,6 +2564,7 @@ FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "hll_distinct_words": _hll_sql(),
         "hyperanf_npairs": _anf_sql(4),
         "cms_top_words": _cms_sql(20),
+        "kmeans_clusters": _kmeans_sql(16, 4),
         "effective_diameter": f"""WITH anf AS (
   SELECT * FROM ({_anf_sql(6)}) t
 ), fin AS (SELECT n_pairs AS nf FROM anf WHERE t = 6)

@@ -90,6 +90,7 @@ _BENCH_QUERIES = [
     "ann_topk",
     "lsh_topk",
     "ivf_topk",
+    "kmeans_clusters",
     "simhash_groups",
     "node2vec_walks",
     "yens_k_shortest",

@@ -262,31 +262,31 @@ def lsh_topk(
     return top.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
-def ivf_topk(
+def _kmeans_assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    d2 = (
+        (m * m).sum(1, keepdims=True)
+        - 2.0 * (m @ c.T)
+        + (c * c).sum(1)[None, :]
+    )
+    return np.argmin(d2, axis=1)  # first min == smallest centroid id
+
+
+def train_kmeans(
     embeddings: "rd.Dataset",
-    query_ids: list[int],
-    k: int = 5,
-    *,
     n_centroids: int = 16,
     train_iters: int = 4,
-    nprobe: int = 2,
+    *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pd.DataFrame:
-    """IVF-bucketed approximate top-k (coarse k-means quantizer — the
-    inverted-file scale path next to ``lsh_topk``): train a small
-    centroid codebook with ``train_iters`` distributed Lloyd sweeps
-    (per-block assignment + per-cluster sum/count partials; the driver
-    folds only the k×d codebook), then score queries exactly but ONLY
-    against vectors whose cell is among the query's ``nprobe`` nearest
-    centroids.
-
-    Deliberately deterministic and SQL-recomputable (the driver oracle
-    unrolls the same Lloyd sweeps in DuckDB): init = the embeddings of
-    the ``n_centroids`` smallest vec_ids, assignment = euclidean argmin
-    with min-centroid tie-break, and every updated centroid is rounded
-    to a 1e-6 grid so numpy and SQL summation-order differences cannot
-    drift the iteration."""
+) -> np.ndarray:
+    """Distributed Lloyd training of a small centroid codebook:
+    per-block assignment + per-cluster sum/count partials; the driver
+    folds only the k×d codebook per sweep. Deliberately deterministic
+    and SQL-recomputable: init = the embeddings of the ``n_centroids``
+    smallest ids, assignment = euclidean argmin with min-centroid
+    tie-break, and every updated centroid is rounded to a 1e-6 grid so
+    numpy and SQL summation-order differences cannot drift the
+    iteration."""
     init = (
         embeddings.select_columns([id_col, vec_col])
         .sort(id_col)
@@ -294,14 +294,7 @@ def ivf_topk(
         .to_pandas()
     )
     cent = np.round(_to_matrix(init, vec_col), 6)
-
-    def assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-        d2 = (
-            (m * m).sum(1, keepdims=True)
-            - 2.0 * (m @ c.T)
-            + (c * c).sum(1)[None, :]
-        )
-        return np.argmin(d2, axis=1)  # first min == smallest centroid id
+    assign = _kmeans_assign
 
     for _ in range(train_iters):
         c_ref = ray.put(cent)
@@ -331,6 +324,62 @@ def ivf_topk(
         new_c = cent.copy()
         new_c[nonempty] = sums[nonempty] / cnt[nonempty, None]
         cent = np.round(new_c, 6)
+    return cent
+
+
+def kmeans_clusters(
+    embeddings: "rd.Dataset",
+    n_centroids: int = 16,
+    train_iters: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "rd.Dataset":
+    """Corpus embedding clustering — the diversity/coverage probe of
+    curation pipelines (and the cell assignment IVF search builds on):
+    ``(vec_id, cluster)`` per vector from the :func:`train_kmeans`
+    codebook, assigned in one streamed ``map_batches`` against the
+    broadcast centroids."""
+    cent = train_kmeans(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    c_ref = ray.put(cent)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        return pd.DataFrame(
+            {
+                "vec_id": df[id_col].to_numpy(np.int64),
+                "cluster": _kmeans_assign(_to_matrix(df, vec_col), c).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return embeddings.map_batches(f, batch_format="pandas")
+
+
+def ivf_topk(
+    embeddings: "rd.Dataset",
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    train_iters: int = 4,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (coarse k-means quantizer — the
+    inverted-file scale path next to ``lsh_topk``): a
+    :func:`train_kmeans` codebook, then exact cosine scoring of each
+    query against ONLY the vectors whose cell is among the query's
+    ``nprobe`` nearest centroids. Deterministic and SQL-recomputable
+    end-to-end (the oracle unrolls the same Lloyd sweeps)."""
+    assign = _kmeans_assign
+    cent = train_kmeans(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
 
     q_rows = _select_rows(embeddings, query_ids, id_col).sort_values(id_col)
     qm_raw = _to_matrix(q_rows, vec_col)

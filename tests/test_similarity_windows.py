@@ -368,3 +368,24 @@ def test_interval_join_containment_inclusive():
     # t=5 in [0,10]; t=10 in BOTH [0,10] (inclusive end) and [8,15];
     # t=20 in none; user 2's t=7 not in [50,60]
     assert list(zip(out.eid, out.w)) == [(100, 1.0), (101, 1.0), (101, 2.0)]
+
+
+def test_kmeans_clusters_separates_planted_blobs():
+    from neo4j_graph_algorithms_ray.pipelines.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((30, 8)) * 0.05 + np.array([5.0] + [0] * 7)
+    b = rng.standard_normal((30, 8)) * 0.05 - np.array([5.0] + [0] * 7)
+    m = np.vstack([a, b]).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(60, dtype=np.int64),
+                "embedding": [r.tolist() for r in m],
+            }
+        )
+    )
+    out = kmeans_clusters(emb, n_centroids=2, train_iters=4).to_pandas()
+    ca = set(out[out.vec_id < 30]["cluster"])
+    cb = set(out[out.vec_id >= 30]["cluster"])
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
