@@ -543,6 +543,12 @@ def _q_source_profile(sf_dir: str) -> Any:
     return source_profile(_docs(sf_dir))
 
 
+def _q_unigram_logloss(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import unigram_logloss
+
+    return unigram_logloss(_docs(sf_dir))
+
+
 def _q_quality(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.text_analysis import quality_scores
 
@@ -1029,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": _q_eff_diameter,
         "kmeans_clusters": _q_kmeans_clusters,
         "tfidf_top5": _q_tfidf,
+        "unigram_logloss": _q_unigram_logloss,
         "token_length_percentiles": _q_token_percentiles,
         "source_profile": _q_source_profile,
         "pack_sequences": _q_pack_sequences,
@@ -2388,6 +2395,21 @@ s AS (
     PARTITION BY doc_id ORDER BY score DESC, word) AS rn FROM s
 )
 SELECT doc_id, word, tf, score FROM r WHERE rn <= 5""",
+        "unigram_logloss": """WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), pos AS (
+  SELECT doc_id, l[i] AS word
+  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM w)
+), tf AS (
+  SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM pos GROUP BY doc_id, word
+), cnt AS (
+  SELECT word, SUM(tf)::BIGINT AS cnt FROM tf GROUP BY word
+), tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM cnt)
+SELECT t.doc_id, SUM(t.tf)::BIGINT AS n_words,
+  ROUND(SUM(t.tf * -LN(c.cnt / tot.total))
+        / GREATEST(SUM(t.tf), 1), 6) AS logloss
+FROM tf t JOIN cnt c USING (word) CROSS JOIN tot
+GROUP BY t.doc_id""",
         "token_length_percentiles": r"""WITH t AS (
   SELECT length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens FROM documents
 ), nc AS (SELECT COUNT(*)::BIGINT AS c FROM t),

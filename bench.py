@@ -80,6 +80,7 @@ _BENCH_QUERIES = [
     "line_dedup",
     "dedup_keep_canonical",
     "tfidf_top5",
+    "unigram_logloss",
     "token_length_percentiles",
     "hll_distinct_words",
     "hyperanf_npairs",

@@ -748,3 +748,143 @@ def source_profile(
         .repartition(shuffle_width(), keys=["source"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
+
+
+def unigram_logloss(
+    docs: "rd.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Corpus-adaptive LM quality score (the CCNet recipe's perplexity
+    filter, with the honest in-sandbox model — a unigram LM trained on
+    the corpus itself; KenLM is not in the container): per doc,
+    ``(doc_id, n_words, logloss)`` where logloss is the average
+    negative log-probability ``Σ tf·(-ln(cnt_w / total)) / Σ tf``
+    rounded half-away to 6 — unusual-vocabulary docs score high, and
+    thresholding it is the standard head/middle/tail split.
+
+    Same two-exchange dataflow as :func:`tfidf_top_terms` (the LM *is*
+    a word-count table too big to broadcast at corpus scale): exploded
+    ``(doc_id, word, tf)`` rejoins the width-bounded count aggregate
+    through a tagged union + one keyed repartition, then one exchange
+    on doc_id folds the per-doc average.
+    """
+    import pyarrow as pa
+
+    from ..state.partitioning import shuffle_width
+
+    width = shuffle_width()
+    # total corpus words: pre-aggregated per batch, folded as a scalar
+    total = float(
+        sum(
+            b["n"].sum()
+            for b in docs.map_batches(
+                lambda d: pd.DataFrame({"n": [int(token_count(d[text_col]).sum())]}),
+                batch_format="pandas",
+            ).iter_batches(batch_format="pandas")
+        )
+    )
+
+    def tf_explode(df: pd.DataFrame) -> pa.Table:
+        words = df[text_col].str.split(" ")
+        counts = words.str.len().to_numpy(np.int64)
+        if not counts.sum():
+            return pa.table(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "word": pa.array([], pa.string()),
+                    "tf": np.empty(0, np.int64),
+                }
+            )
+        drep = np.repeat(df[id_col].to_numpy(np.int64), counts)
+        allw = np.concatenate([np.asarray(x, dtype=object) for x in words])
+        out = (
+            pd.DataFrame({"doc_id": drep, "word": allw})
+            .groupby(["doc_id", "word"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "word": pa.array(out["word"], pa.string()),
+                "tf": out["tf"].to_numpy(np.int64),
+            }
+        )
+
+    def cnt_partial(d: pd.DataFrame) -> pa.Table:
+        g = d.groupby("word", as_index=False)["tf"].sum()
+        return pa.table(
+            {
+                "word": pa.array(g["word"], pa.string()),
+                "cnt": g["tf"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_cnt(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum(cnt)")
+        t = t.set_column(i, "cnt", t.column(i))
+        n = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64)),
+                "word": t["word"],
+                "tf": pa.array(np.zeros(n, np.int64)),
+                "cnt": t["cnt"],
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cnt", pa.array(np.zeros(len(t), np.int64))
+        ).append_column("side", pa.array(np.zeros(len(t), np.int8)))
+
+    tf = docs.map_batches(tf_explode, batch_format="pandas")
+    cnt_tab = (
+        tf.map_batches(cnt_partial, batch_format="pandas")
+        .groupby("word", num_partitions=width)
+        .sum("cnt")
+        .map_batches(tag_cnt, batch_format="pyarrow")
+    )
+    combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(cnt_tab)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["side"] == 0]
+        rhs = df[df["side"] == 1]
+        m = lhs[["doc_id", "word", "tf"]].merge(
+            rhs[["word", "cnt"]], on="word", how="inner"
+        )
+        m["nll"] = m["tf"] * -np.log(m["cnt"].to_numpy(np.float64) / total)
+        return m[["doc_id", "tf", "nll"]]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_words": pd.Series([], dtype="int64"),
+                    "logloss": pd.Series([], dtype="float64"),
+                }
+            )
+        g = df.groupby("doc_id", sort=True).agg(
+            n_words=("tf", "sum"), nll=("nll", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g.index.to_numpy(np.int64),
+                "n_words": g["n_words"].to_numpy(np.int64),
+                "logloss": np.floor(
+                    g["nll"].to_numpy() / np.maximum(g["n_words"].to_numpy(), 1) * 1e6
+                    + 0.5
+                )
+                / 1e6,
+            }
+        )
+
+    return (
+        combined.repartition(width, keys=["word"])
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .repartition(width, keys=["doc_id"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

@@ -473,3 +473,21 @@ def test_weighted_sample_deterministic_and_rate_scaled():
     # deterministic: same selection on re-run and independent of blocking
     out2 = weighted_sample(rd.from_pandas(df), alpha=0.3, scale=0.5).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_unigram_logloss_rare_words_score_higher():
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import unigram_logloss
+
+    # "common" appears 20x, "rare" once: doc of rare words must score
+    # a higher logloss than a doc of common words
+    docs = _docs(["common " * 10 + "common", "rare common", "common common"])
+    out = unigram_logloss(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "logloss"] > out.loc[2, "logloss"]
+    assert out.loc[0, "n_words"] == 11
+    # hand check doc 2: both words 'common', p = cnt/total
+    total = 11 + 2 + 2
+    import numpy as np
+
+    cnt_common = 14
+    expect = -np.log(cnt_common / total)
+    assert abs(out.loc[2, "logloss"] - round(expect, 6)) < 2e-6
