@@ -257,6 +257,32 @@ def _q_minhash_groups(sf_dir: str) -> pd.DataFrame:
     return minhash_lsh_neardup(_docs(sf_dir)).groups
 
 
+def _q_dedup_against(sf_dir: str) -> Any:
+    """Incremental dedup: the doc_id%5==0 slice plays the already-
+    ingested prior corpus. The synthetic docs are all textually
+    distinct, so deterministic overlap is injected on BOTH sides (the
+    pii_scrub pattern): every doc_id%3==0 prior doc and every
+    doc_id%7==0 new doc is replaced by the same sentinel text — those
+    new docs are exactly what the anti-join must drop."""
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_against
+
+    docs = _docs(sf_dir)
+    sentinel = "shared sentinel document already ingested last crawl"
+
+    def split(keep_prior: bool, mod: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["doc_id"] % 5 == 0) == keep_prior
+            out = df[m].reset_index(drop=True)
+            out.loc[out["doc_id"] % mod == 0, "text"] = sentinel
+            return out
+
+        return f
+
+    prior = docs.map_batches(split(True, 3), batch_format="pandas")
+    new = docs.map_batches(split(False, 7), batch_format="pandas")
+    return dedup_against(new, prior)
+
+
 def _q_dedup_keep_canonical(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_keep_canonical
 
@@ -1014,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_click_purchase": _q_funnel,
         "minhash_lsh_groups": _q_minhash_groups,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
+        "dedup_against_prior": _q_dedup_against,
         "simhash_groups": _q_simhash_groups,
         "embedding_neardup": _q_embedding_neardup,
         "doc_fingerprints": _q_fingerprints,
@@ -2432,6 +2459,19 @@ SELECT source, COUNT(*)::BIGINT AS n_docs,
   ROUND(SUM(chars) / COUNT(*)::DOUBLE, 6) AS mean_chars
 FROM t GROUP BY source""",
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "dedup_against_prior": """WITH pri AS (
+  SELECT DISTINCT sha256(CASE WHEN doc_id % 3 = 0
+    THEN 'shared sentinel document already ingested last crawl'
+    ELSE text END) AS sha
+  FROM documents WHERE doc_id % 5 = 0
+), nw AS (
+  SELECT doc_id, sha256(CASE WHEN doc_id % 7 = 0
+    THEN 'shared sentinel document already ingested last crawl'
+    ELSE text END) AS sha
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT n.doc_id, n.sha FROM nw n
+WHERE NOT EXISTS (SELECT 1 FROM pri p WHERE p.sha = n.sha)""",
         "euclidean_topk": """WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
 ),

@@ -79,6 +79,7 @@ _BENCH_QUERIES = [
     "weighted_sample",
     "line_dedup",
     "dedup_keep_canonical",
+    "dedup_against_prior",
     "tfidf_top5",
     "unigram_logloss",
     "token_length_percentiles",

@@ -606,3 +606,61 @@ def dedup_keep_canonical(
         return pd.DataFrame({"doc_id": ids, "group_size": gsize})
 
     return docs.map_batches(survivors, batch_format="pandas")
+
+
+def dedup_against(
+    docs: "rd.Dataset",
+    prior: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Incremental ingest dedup: keep only docs whose exact content
+    (sha256 of text) does NOT already appear in a ``prior`` corpus —
+    the don't-re-ingest step of every recurring crawl. Emits
+    ``(doc_id, sha)`` survivors.
+
+    Distributed anti-join, nothing broadcast (at 100 TB the prior
+    corpus's sha set is itself terabytes): both sides project to their
+    full content sha + tag, the prior side pre-deduped per block, ONE
+    keyed exchange on the sha co-locates collisions, and the block
+    fold drops tagged-new rows whose sha also arrived from the prior
+    side. The exchange carries ~80 B/doc regardless of document size.
+    """
+
+    def project(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            sha = sha256_hex(df[text_col])
+            out = pd.DataFrame(
+                {
+                    "sha": sha,
+                    "doc_id": df[id_col].to_numpy(np.int64)
+                    if side == 0
+                    else np.full(len(df), -1, np.int64),
+                    "side": np.full(len(df), side, np.int8),
+                }
+            )
+            if side == 1:  # prior: only distinct shas matter
+                out = out.drop_duplicates("sha")
+            return out.reset_index(drop=True)
+
+        return f
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        seen = set(df.loc[df["side"] == 1, "sha"])
+        new = df[df["side"] == 0]
+        keep = new[~new["sha"].isin(seen)]
+        return pd.DataFrame(
+            {
+                "doc_id": keep["doc_id"].to_numpy(np.int64),
+                "sha": keep["sha"].to_numpy(),
+            }
+        )
+
+    width = shuffle_width(source_size_bytes(docs))
+    return (
+        docs.map_batches(project(0), batch_format="pandas")
+        .union(prior.map_batches(project(1), batch_format="pandas"))
+        .repartition(width, keys=["sha"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )

@@ -491,3 +491,19 @@ def test_unigram_logloss_rare_words_score_higher():
     cnt_common = 14
     expect = -np.log(cnt_common / total)
     assert abs(out.loc[2, "logloss"] - round(expect, 6)) < 2e-6
+
+
+def test_dedup_against_prior_anti_join():
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_against
+
+    new = _docs(["aaa", "bbb", "ccc", "bbb"])          # ids 0..3
+    prior = _docs(["bbb", "zzz"])                      # "bbb" already ingested
+    out = (
+        dedup_against(new, prior)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # both copies of "bbb" are dropped; within-new dup handling is
+    # dedup_exact's job, not this operator's
+    assert out["doc_id"].tolist() == [0, 2]
