@@ -798,6 +798,16 @@ def _q_balanced_triads(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_skipgram_pairs(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.walks import random_walks, skipgram_pairs
+
+    g = _graph(sf_dir, "cyclic")
+    starts = np.sort(g.vids)[:8]
+    return skipgram_pairs(
+        random_walks(g, starts, steps=6, seed=42, directed=True), window=2
+    )
+
+
 def _q_random_walks(sf_dir: str) -> pd.DataFrame:
     from neo4j_graph_algorithms_ray.pipelines.walks import random_walks
 
@@ -1019,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "balanced_triads": _q_balanced_triads,
         "random_walks": _q_random_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         "yens_k_shortest": _q_yens_paths,
         "delta_stepping_sssp": _q_delta_stepping,
         # training-data operators
@@ -2565,6 +2576,13 @@ JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "betweenness_sampled": _betweenness_sql(levels=8),
         "yens_k_shortest": _yens_sql(),
         "random_walks": _random_walks_sql(),
+        "skipgram_pairs": f"""WITH wk AS (
+  SELECT * FROM ({_random_walks_sql()}) t
+)
+SELECT a.vid AS center, b.vid AS context, COUNT(*)::BIGINT AS cnt
+FROM wk a JOIN wk b
+  ON b.walk_id = a.walk_id AND ABS(b.step - a.step) BETWEEN 1 AND 2
+GROUP BY center, context""",
         "node2vec_walks": _node2vec_sql(),
         # plain CTEs on purpose: DuckDB 1.0 returns EMPTY results on the
         # second consumption of a MATERIALIZED CTE built over parquet

@@ -95,6 +95,7 @@ _BENCH_QUERIES = [
     "kmeans_clusters",
     "simhash_groups",
     "node2vec_walks",
+    "skipgram_pairs",
     "yens_k_shortest",
     "sql_projection_degree",
     "events_tumbling_daily",

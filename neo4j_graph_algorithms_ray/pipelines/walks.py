@@ -371,3 +371,64 @@ def yens_k_shortest_paths(
     return pd.DataFrame(rows, columns=["path_index", "step", "vid", "cost"]).astype(
         {"path_index": "int64", "step": "int64", "vid": "int64", "cost": "float64"}
     )
+
+
+def skipgram_pairs(
+    walks: "rd.Dataset", window: int = 2
+) -> "rd.Dataset":
+    """The graph→embedding-training handoff (DeepWalk/node2vec §3:
+    walks feed a skip-gram model): co-occurrence pair frequencies
+    ``(center, context, cnt)`` over every walk position pair within
+    ``window`` steps (both directions, offset ≥ 1).
+
+    Dataflow: one keyed repartition on ``walk_id`` makes walks
+    block-complete; the per-block pass emits pairs by shifted-array
+    matching (one vectorized shift per offset, no per-walk Python) and
+    PRE-AGGREGATES counts, so the final width-bounded hash aggregate
+    sees one row per distinct pair per block — never one per
+    occurrence."""
+    from ..state.partitioning import shuffle_width
+
+    width = shuffle_width()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "center": pd.Series([], dtype="int64"),
+                    "context": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["walk_id", "step"], kind="stable")
+        wid = df["walk_id"].to_numpy(np.int64)
+        vid = df["vid"].to_numpy(np.int64)
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            same = wid[:-d] == wid[d:]
+            a, b = vid[:-d][same], vid[d:][same]
+            cs.append(np.concatenate([a, b]))  # both directions
+            xs.append(np.concatenate([b, a]))
+        out = (
+            pd.DataFrame(
+                {"center": np.concatenate(cs), "context": np.concatenate(xs)}
+            )
+            .groupby(["center", "context"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return out.astype({"cnt": "int64"})
+
+    def rn(t):
+        if isinstance(t, pd.DataFrame):
+            return t.rename(columns={"sum(cnt)": "cnt"})
+        i = t.schema.get_field_index("sum(cnt)")
+        return t.set_column(i, "cnt", t.column(i))
+
+    return (
+        walks.repartition(width, keys=["walk_id"])
+        .map_batches(pairs, batch_format="pandas", batch_size=None)
+        .groupby(["center", "context"], num_partitions=width)
+        .sum("cnt")
+        .map_batches(rn, batch_format=None)
+    )

@@ -227,3 +227,35 @@ def test_effective_diameter_star_is_short():
     t = effective_diameter(g, rounds=4, directed=False).to_pandas()
     assert int(t["eff_diameter"].iloc[0]) <= 2
     assert t["n_pairs_final"].iloc[0] > n  # far beyond the t=0 diagonal
+
+
+def test_skipgram_pairs_window_counts():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.walks import skipgram_pairs
+
+    # one walk a-b-c-a: window 2 pairs (both directions) hand-counted
+    walks = rd.from_arrow(
+        pa.table(
+            {
+                "walk_id": np.zeros(4, dtype=np.int64),
+                "step": np.arange(4, dtype=np.int64),
+                "vid": np.array([10, 11, 12, 10], dtype=np.int64),
+            }
+        )
+    )
+    out = (
+        skipgram_pairs(walks, window=2)
+        .to_pandas()
+        .set_index(["center", "context"])["cnt"]
+        .to_dict()
+    )
+    # d=1 position pairs: (10,11),(11,12),(12,10); d=2: (10,12),(11,10);
+    # each counted in BOTH directions
+    assert out[(10, 11)] == 2  # d=1 forward + reverse of d=2 (11,10)
+    assert out[(11, 10)] == 2  # reverse of d=1 (10,11) + d=2 forward
+    assert out[(12, 10)] == 2  # d=1 forward + reverse of d=2 (10,12)
+    assert out[(11, 12)] == 1 and out[(12, 11)] == 1
+    assert sum(out.values()) == 2 * (3 + 2)  # 5 position pairs, both directions
