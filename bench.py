@@ -256,6 +256,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "num_cpus": NUM_CPUS,
         "cpu_calibration_sec": calib,
+        # throttle can flap MID-run; a second sample bounds the window
+        "cpu_calibration_end_sec": _cpu_calibration_sec(),
         "headline": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in head.items()},
     }
     print(json.dumps(result))
