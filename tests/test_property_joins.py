@@ -390,3 +390,33 @@ def test_stratified_sample_matches_duckdb_rownumber(ray_session, ids, cap):
 SELECT doc_id, lang FROM r WHERE rn <= {cap} ORDER BY doc_id"""
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(out[["doc_id", "lang"]], want, check_dtype=False)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    new=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=10),
+    pri=st.lists(st.sampled_from(["aa", "bb", "cc", "xx"]), min_size=0, max_size=6),
+)
+def test_dedup_against_matches_not_exists(ray_session, new, pri):
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_against
+
+    nd = pd.DataFrame(
+        {"doc_id": np.arange(len(new), dtype=np.int64), "text": new}
+    )
+    pdd = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(pri), dtype=np.int64) + 1000,
+            "text": pd.Series(pri, dtype="object"),
+        }
+    )
+    out = dedup_against(_ds(nd), _ds(pdd, 2) if len(pri) else _ds(pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "text": pd.Series([], dtype="object")}), 1)).to_pandas()
+    con = duckdb.connect()
+    con.register("nd", nd)
+    con.register("pdd", pdd)
+    want = con.sql(
+        """SELECT n.doc_id FROM nd n WHERE NOT EXISTS (
+             SELECT 1 FROM pdd p WHERE sha256(p.text) = sha256(n.text))
+           ORDER BY doc_id"""
+    ).df()["doc_id"].tolist()
+    got = sorted(out["doc_id"].tolist()) if "doc_id" in out.columns else []
+    assert got == want
