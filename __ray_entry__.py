@@ -643,7 +643,9 @@ def _q_sssp_dijkstra(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "weighted_bipartite")
     src = int(np.sort(g.vids)[0])
     res = sssp(g, src, directed=False)
-    keep = np.isfinite(res.distances)
+    # cap mirrors the oracle's bounded recursive walk (<= 30) so the
+    # comparison stays exact at every SF, same as weighted_allpairs
+    keep = np.isfinite(res.distances) & (res.distances <= 30.0)
     return pa.table(
         {"vid": g.vids[keep], "distance": np.round(res.distances[keep], 6)}
     )
@@ -880,7 +882,8 @@ def _q_delta_stepping(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "weighted_bipartite")
     src = int(np.sort(g.vids)[0])
     res = delta_stepping(g, src, delta=2.0, directed=False)
-    keep = np.isfinite(res.distances)
+    # cap mirrors the oracle's bounded walk (<= 30); see _q_sssp_dijkstra
+    keep = np.isfinite(res.distances) & (res.distances <= 30.0)
     return pa.table(
         {"vid": g.vids[keep], "distance": np.round(res.distances[keep], 6)}
     )

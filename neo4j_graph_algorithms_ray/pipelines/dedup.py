@@ -19,6 +19,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -531,6 +532,7 @@ def dedup_keep_canonical(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
     **minhash_kwargs,
 ) -> "rd.Dataset":
     """The end-to-end 'dedup the corpus' composite every pretraining
@@ -540,12 +542,24 @@ def dedup_keep_canonical(
     rows (group_size = 1 for docs in no near-dup group; re-join text
     downstream by doc_id when needed).
 
-    Scale contract: the canonical-selection state is O(near-dup
-    MEMBERSHIP) — the same bound :func:`minhash_lsh_neardup` already
-    places on its group table — held as sorted id arrays broadcast via
-    ``ray.put``; the corpus itself only ever STREAMS (once to collect
-    member text lengths, once to filter survivors), nothing corpus-
-    sized touches the driver.
+    Two engines, identical output (cross-checked in tests):
+
+    - ``mode="driver"``: broadcast member-id filter + driver pandas
+      selection — O(membership) DRIVER memory. Fast on small corpora
+      (no extra exchanges) but a scale-killer at realistic 30-50% dup
+      rates where membership is corpus-sized.
+    - ``mode="distributed"`` (the ``auto`` default above the minhash
+      single-task gate): the selection is THREE keyed exchanges and
+      zero driver state — (1) tagged union of the corpus's
+      (doc_id, n_chars) projection with the group table, hash-
+      repartitioned on ``doc_id``, joins text lengths to members;
+      (2) repartition on ``group_id`` makes each group block-complete
+      for the per-block argmax((n_chars, −doc_id)) canonical pick,
+      emitting per-member keep/drop decision rows; (3) the decisions
+      anti-join the corpus id stream on ``doc_id``. The only
+      O(membership) driver object left is the group table
+      :func:`minhash_lsh_neardup` itself returns (its documented
+      envelope; the >500k-pair path derives it via distributed WCC).
     """
     res = minhash_lsh_neardup(docs, id_col=id_col, text_col=text_col, **minhash_kwargs)
     g = res.groups
@@ -558,6 +572,14 @@ def dedup_keep_canonical(
 
     if not len(g):
         return docs.map_batches(emit_all, batch_format="pandas")
+    if mode == "auto":
+        mode = (
+            "distributed"
+            if docs.count() > _SINGLE_TASK_SCAN_MAX_DOCS
+            else "driver"
+        )
+    if mode == "distributed":
+        return _keep_canonical_distributed(docs, g, id_col, text_col)
 
     member_ids = np.sort(g["doc_id"].to_numpy(np.int64))
     mref = ray.put(member_ids)
@@ -606,6 +628,118 @@ def dedup_keep_canonical(
         return pd.DataFrame({"doc_id": ids, "group_size": gsize})
 
     return docs.map_batches(survivors, batch_format="pandas")
+
+
+def _keep_canonical_distributed(
+    docs: "rd.Dataset", g: pd.DataFrame, id_col: str, text_col: str
+) -> "rd.Dataset":
+    """Keyed-exchange canonical selection (see dedup_keep_canonical):
+    three hash repartitions, per-block pandas folds, no driver state."""
+    width = shuffle_width(source_size_bytes(docs))
+    groups_ds = rd.from_arrow(
+        pa.Table.from_pandas(
+            g[["doc_id", "group_id"]].astype("int64"), preserve_index=False
+        )
+    )
+
+    def docs_chars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(np.int64),
+                "group_id": np.full(len(df), -1, np.int64),
+                "n_chars": df[text_col].str.len().to_numpy(np.int64),
+                "side": np.zeros(len(df), np.int8),
+            }
+        )
+
+    def grp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "group_id": df["group_id"].to_numpy(np.int64),
+                "n_chars": np.zeros(len(df), np.int64),
+                "side": np.ones(len(df), np.int8),
+            }
+        )
+
+    _MEMBER_COLS = ["group_id", "doc_id", "n_chars"]
+
+    def join_chars(df: pd.DataFrame) -> pd.DataFrame:
+        # doc_id unique on the corpus side; one member row per group row
+        rhs = df[df["side"] == 1]
+        if not len(rhs):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in _MEMBER_COLS}
+            )
+        lhs = df[df["side"] == 0]
+        m = rhs[["doc_id", "group_id"]].merge(
+            lhs[["doc_id", "n_chars"]], on="doc_id", how="inner"
+        )
+        return m[_MEMBER_COLS].astype("int64")
+
+    members = (
+        docs.map_batches(docs_chars, batch_format="pandas")
+        .union(groups_ds.map_batches(grp_rows, batch_format="pandas"))
+        .repartition(width, keys=["doc_id"])
+        .map_batches(join_chars, batch_format="pandas", batch_size=None)
+    )
+
+    _DEC_COLS = {"doc_id": "int64", "group_size": "int64", "drop": "int8"}
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=t) for c, t in _DEC_COLS.items()}
+            )
+        df = df.sort_values(
+            ["group_id", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        gb = df.groupby("group_id", sort=False)
+        keep_first = gb.cumcount() == 0
+        sizes = gb["doc_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "group_size": sizes.to_numpy(np.int64),
+                "drop": (~keep_first).to_numpy().astype(np.int8),
+            }
+        )
+
+    decisions = members.repartition(width, keys=["group_id"]).map_batches(
+        select, batch_format="pandas", batch_size=None
+    )
+
+    def docs_ids(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "group_size": np.zeros(len(ids), np.int64),
+                "drop": np.full(len(ids), -1, np.int8),  # -1 tags the corpus side
+            }
+        )
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        corpus = df[df["drop"] == -1][["doc_id"]]
+        dec = df[df["drop"] >= 0]
+        if not len(dec):
+            out = corpus.copy()
+            out["group_size"] = np.ones(len(out), np.int64)
+            return out.astype({"doc_id": "int64"}).reset_index(drop=True)
+        m = corpus.merge(dec, on="doc_id", how="left")
+        m = m[m["drop"].isna() | (m["drop"] == 0)]
+        gs = m["group_size"].fillna(1).astype(np.int64)
+        gs = np.maximum(gs.to_numpy(), 1)  # non-members carry size 1
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(np.int64), "group_size": gs}
+        )
+
+    return (
+        docs.map_batches(docs_ids, batch_format="pandas")
+        .union(decisions)
+        .repartition(width, keys=["doc_id"])
+        .map_batches(survivors, batch_format="pandas", batch_size=None)
+    )
 
 
 def dedup_against(

@@ -25,6 +25,15 @@ from ..state.partitioning import shuffle_width
 _SIDE = "__asof_side"
 
 
+def _pd_dtype(ty: "pa.DataType") -> np.dtype:
+    try:
+        return np.dtype(ty.to_pandas_dtype())
+    except (NotImplementedError, TypeError):
+        return np.dtype(object)
+
+
+
+
 def asof_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
@@ -44,9 +53,13 @@ def asof_join(
     Ties on (by, on) in the right side resolve to the row that sorts
     LAST by the right payload columns — mirror it in SQL by
     pre-aggregating the right side (``GROUP BY by, on`` + MAX), which
-    is what a well-defined as-of needs anyway. Unmatched integer right
-    payloads surface as float64 (pandas null promotion); filter matched
-    rows before casting back.
+    is what a well-defined as-of needs anyway. Dtypes: ``by``/``on``/
+    ``left_cols`` come back in their DECLARED input dtypes, bit-exact
+    at any magnitude (each side converts to pandas null-free — the
+    tagged union is split in Arrow first); integer RIGHT payloads
+    surface as float64 in every block (pandas null promotion — a left
+    row may match nothing), so the output schema is uniform; filter
+    matched rows before casting those back.
     """
     overlap = set(left_cols) & set(right_cols)
     if overlap or {on, by} & (set(left_cols) | set(right_cols)):
@@ -93,29 +106,58 @@ def asof_join(
 
     out_cols = [by, on, *left_cols, *right_cols]
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df[_SIDE] == 0]
-        rhs = df[df[_SIDE] == 1]
-        lhs = lhs[[by, on, *left_cols]].sort_values(on, kind="stable")
-        rhs = rhs[[by, on, *right_cols]].sort_values(
-            [on, *right_cols], kind="stable"
+    field_types = dict(fields)
+
+    def _out_dtype(c: str) -> np.dtype:
+        # right payloads keep the null-promotion dtype (uniform across
+        # blocks — a left row may match nothing); everything else is
+        # null-free and carries its declared dtype
+        ty = field_types[c]
+        if c in right_cols:
+            if pa.types.is_integer(ty):
+                return np.dtype(np.float64)
+            if pa.types.is_boolean(ty):
+                return np.dtype(object)
+        return _pd_dtype(ty)
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        # split the tagged union in ARROW and select each side's own
+        # (null-free) columns BEFORE the pandas conversion — converting
+        # the combined block would promote every int64 to float64 and
+        # silently round ids/timestamps above 2^53
+        import pyarrow.compute as pc
+
+        mask = pc.equal(t[_SIDE], 0)
+        lhs = (
+            t.filter(mask)
+            .select([by, on, *left_cols])
+            .to_pandas()
+            .sort_values(on, kind="stable")
+        )
+        rhs = (
+            t.filter(pc.invert(mask))
+            .select([by, on, *right_cols])
+            .to_pandas()
+            .sort_values([on, *right_cols], kind="stable")
         )
         if not len(lhs):
             return pd.DataFrame(
-                {
-                    c: pd.Series(
-                        [], dtype=(lhs[c].dtype if c in lhs.columns else rhs[c].dtype)
-                    )
-                    for c in out_cols
-                }
+                {c: pd.Series([], dtype=_out_dtype(c)) for c in out_cols}
             )
         merged = pd.merge_asof(
             lhs, rhs, on=on, by=by, direction="backward", allow_exact_matches=True
         )
-        return merged[out_cols].reset_index(drop=True)
+        out = merged[out_cols].reset_index(drop=True)
+        # unmatched rows promote right payload ints; force the promoted
+        # dtype even in all-matched blocks so the schema stays uniform
+        for c in right_cols:
+            want = _out_dtype(c)
+            if out[c].dtype != want:
+                out[c] = out[c].astype(want)
+        return out
 
     return combined.repartition(width or shuffle_width(), keys=[by]).map_batches(
-        fold, batch_format="pandas", batch_size=None
+        fold, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -142,6 +184,9 @@ def interval_join(
     flows through ONE hash repartition on ``by``, and the per-block
     fold is a whole-column pandas merge + mask. Interval fan-out is
     bounded by intervals-per-key (sessions, windows), not corpus size.
+    Dtypes: the inner join leaves no nulls, so EVERY output column is
+    cast back to its declared input dtype after the fold (the tagged
+    union's transient float64 promotion never reaches the caller).
     """
     overlap = set(left_cols) & set(right_cols)
     if overlap or {on, by, start, end} & (set(left_cols) | set(right_cols)):
@@ -191,17 +236,32 @@ def interval_join(
     )
     out_cols = [by, on, *left_cols, start, end, *right_cols]
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df[_SIDE] == 0][[by, on, *left_cols]]
-        rhs = df[df[_SIDE] == 1][[by, start, end, *right_cols]]
+    field_types = dict(fields)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=_pd_dtype(field_types[c])) for c in out_cols}
+        )
+
+    def fold(t: pa.Table) -> pd.DataFrame:
+        # Arrow-side split (see asof_join.fold): each side converts to
+        # pandas null-free, so int64 ids/timestamps never transit
+        # float64 and the inner-join output carries the declared dtypes
+        import pyarrow.compute as pc
+
+        if not t.num_rows:
+            return _empty()
+        mask = pc.equal(t[_SIDE], 0)
+        lhs = t.filter(mask).select([by, on, *left_cols]).to_pandas()
+        rhs = t.filter(pc.invert(mask)).select([by, start, end, *right_cols]).to_pandas()
         if not len(lhs) or not len(rhs):
-            return pd.DataFrame({c: pd.Series([], dtype="float64") for c in out_cols})
+            return _empty()
         pairs = lhs.merge(rhs, on=by)
-        mask = (pairs[on] >= pairs[start]) & (pairs[on] <= pairs[end])
-        return pairs[mask][out_cols].reset_index(drop=True)
+        keep = (pairs[on] >= pairs[start]) & (pairs[on] <= pairs[end])
+        return pairs[keep][out_cols].reset_index(drop=True)
 
     from ..state.partitioning import shuffle_width as _sw
 
     return combined.repartition(width or _sw(), keys=[by]).map_batches(
-        fold, batch_format="pandas", batch_size=None
+        fold, batch_format="pyarrow", batch_size=None
     )

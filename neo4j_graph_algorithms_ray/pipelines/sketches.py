@@ -48,11 +48,27 @@ def word_hash_u64(words: np.ndarray) -> np.ndarray:
         return np.empty(0, np.uint64)
     trunc = pd.Series(words).str.slice(0, _MAX_WORD_CHARS)
     lens = trunc.str.len().to_numpy(np.int64)
-    stream = np.frombuffer(
-        "".join(trunc).encode("utf-8", "replace"), dtype=np.uint8
-    )
-    # non-ascii multi-byte expansion would desync offsets; the corpus
-    # contract (same as the minhash oracle) is ascii text
+    joined = "".join(trunc)
+    stream_bytes = joined.encode("utf-8")
+    if len(stream_bytes) != len(joined):
+        # Non-ASCII words: multi-byte utf-8 expansion desyncs the
+        # char-length-derived offsets for EVERY subsequent word, so the
+        # fast path would produce wrong, batch-layout-dependent hashes.
+        # Fall back to hashing each word over its own byte stream —
+        # self-consistent and layout-independent (the SQL mirror's
+        # char-position coefficients only coincide for ASCII; that
+        # oracle contract is unchanged).
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(trunc):
+            wb = np.frombuffer(w.encode("utf-8"), dtype=np.uint8)
+            wb = wb[:_MAX_WORD_CHARS]
+            out[i] = (
+                (wb.astype(np.uint64) * _POWS[: len(wb)]).sum(dtype=np.uint64)
+                if len(wb)
+                else np.uint64(0)
+            )
+        return mix64(out)
+    stream = np.frombuffer(stream_bytes, dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
     pos = np.arange(len(stream), dtype=np.int64) - np.repeat(starts, lens)
     prod = stream.astype(np.uint64) * _POWS[pos]

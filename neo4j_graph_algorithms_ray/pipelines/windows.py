@@ -160,6 +160,11 @@ def funnel(
     ``len(steps)`` stages as whole-column pandas merges (no per-user
     Python). Same partitioning contract as :func:`sessionize`: one
     user's (filtered) events fit one block.
+
+    Timestamp contract: ``ts_col`` is projected to MICROSECOND int64
+    and the stage-walk carries it through float64 (NaN = unreached) —
+    exact because epoch-us values stay < 2^53. Do NOT feed nanosecond
+    int64 timestamps (~1.7e18): the float64 carrier would round them.
     """
     idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)

@@ -209,8 +209,11 @@ def derive_repo_links(
     vertices = pa.table(
         {"vid": np.arange(len(repos), dtype=np.int64), "repo": pa.array(repos)}
     )
-    repo_to_vid = {r: i for i, r in enumerate(repos)}
-    vid_ref = ray.put(repo_to_vid)
+    # broadcast the SORTED repo array once; per-batch lookup is a numpy
+    # searchsorted (vid == sorted rank), not a per-row Python dict probe
+    # — same pattern as state.graph._densify_batch
+    repo_sorted = np.array(repos, dtype=object)
+    vid_ref = ray.put(repo_sorted)
 
     # ------------------------------------------------------------------
     # co-occurrence pairs: hash-partition links by key so every key
@@ -221,8 +224,8 @@ def derive_repo_links(
     # partial+fold pattern instead, like state.dense.
     # ------------------------------------------------------------------
     def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        mapping = ray.get(vid_ref)
-        vids = df["repo"].map(mapping).to_numpy(dtype=np.int64)
+        rs = ray.get(vid_ref)
+        vids = np.searchsorted(rs, df["repo"].to_numpy(object)).astype(np.int64)
         keys, key_codes = np.unique(df["key"].to_numpy(), return_inverse=True)
         # distinct (key, repo) pairs, grouped by key — all vectorized;
         # the loop below touches only the qualifying (2 ≤ k ≤ cap)

