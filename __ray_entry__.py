@@ -739,18 +739,69 @@ def _q_eigenvector_top10(sf_dir: str) -> pa.Table:
 
 
 def _q_louvain(sf_dir: str) -> pa.Table:
+    """Louvain over the part_blocks fixture (disjoint near-clique
+    8-blocks — the complete co_supplier graph degenerates to ONE
+    community with Q=0, useless as a community-detection check; here
+    Louvain splits every block into two 4-vertex communities, a
+    partition STRICTLY finer than the connected components, so the
+    oracle cannot be satisfied by a components shortcut). The SQL
+    oracle replays the engine's synchronous gain-move rounds
+    (deterministic pins: strict-improvement moves, ties -> min
+    community — SURVEY §5.3) as unrolled CTEs; on this fixture the
+    level-1 fixpoint IS the final multilevel answer at every tested
+    SF (coarse levels find no improvement), asserted in
+    tests/test_extended_algos.py."""
     from neo4j_graph_algorithms_ray.pipelines.louvain import louvain
 
-    g = _graph(sf_dir, "co_supplier")
+    g = _graph(sf_dir, "part_blocks")
     res = louvain(g)
     return pa.table({"vid": g.vids, "community": res.communities})
 
 
+_WITNESS_DIR = "/tmp/graft_witness"
+
+
+def _witness_path(name: str, sf_dir: str) -> str:
+    import hashlib as _hashlib
+
+    key = _hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    os.makedirs(_WITNESS_DIR, exist_ok=True)
+    return os.path.join(_WITNESS_DIR, f"{name}_{key}.parquet")
+
+
 def _q_infomap(sf_dir: str) -> pa.Table:
+    """InfoMap over the part_blocks fixture. The map equation is not
+    SQL-unrollable (PageRank-to-1e-9 seed, log2 gains, prefix-retry
+    application), so the oracle is a WITNESS check: the query writes
+    (vid, module, p, reported_l) to a deterministic /tmp parquet and
+    the SQL recomputes the partition's codelength from the edge views
+    + witness p, requiring |L_recomputed − reported| < 1e-6 AND
+    L ≤ the all-singletons codelength AND Σp = 1 — if any invariant
+    fails the oracle emits 0 rows and the driver flags the mismatch.
+    The witness is a pure function of (code, sf_dir), so file
+    ordering/staleness cannot fake a pass."""
+    import pyarrow.parquet as _pq
+
     from neo4j_graph_algorithms_ray.pipelines.infomap import infomap
 
-    g = _graph(sf_dir, "co_supplier")
+    g = _graph(sf_dir, "part_blocks")
     res = infomap(g)
+    p = res.metrics["p"]
+    _pq.write_table(
+        pa.table(
+            {
+                "vid": g.vids,
+                "module": res.communities,
+                "p": p,
+                "reported_l": np.full(g.n, res.codelength, dtype=np.float64),
+                # the static oracle SQL globs every witness file and
+                # selects rows by vertex count (one graph per SF), so
+                # it never needs the sf_dir-keyed filename
+                "nv": np.full(g.n, g.n, dtype=np.int64),
+            }
+        ),
+        _witness_path("infomap", sf_dir),
+    )
     return pa.table({"vid": g.vids, "module": res.communities})
 
 
@@ -1118,6 +1169,78 @@ edges AS (
 ),
 vertices AS (SELECT src AS vid FROM edges UNION SELECT dst FROM edges)
 """
+
+_E_PBLK = """
+pb_edges AS MATERIALIZED (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM part a JOIN part b
+    ON b.p_partkey > a.p_partkey
+   AND b.p_partkey - a.p_partkey <= 3
+   AND a.p_partkey // 8 = b.p_partkey // 8
+),
+pb_und AS MATERIALIZED (SELECT u AS a, v AS b FROM pb_edges UNION ALL SELECT v, u FROM pb_edges),
+pb_vertices AS MATERIALIZED (SELECT DISTINCT a AS vid FROM pb_und)
+"""
+
+
+def _louvain_cte(rounds: int) -> str:
+    """Unrolled synchronous Louvain local-moving rounds over pb_und —
+    the exact dataflow of pipelines/louvain.py level 1 (votes -> gains
+    with own-community degree exclusion -> best move per vertex, ties
+    min community, move iff gain > stay + 1e-12). All quantities are
+    integer-valued doubles with ONE division by m2, so numpy and SQL
+    produce bit-identical gains and the comparisons cannot drift. Extra
+    rounds past the fixpoint are no-ops, so ``rounds`` only needs to be
+    >= the observed convergence (4 on part_blocks at every SF)."""
+    parts = [
+        "deg AS MATERIALIZED (SELECT a AS vid, COUNT(*)::DOUBLE AS k FROM pb_und GROUP BY a)",
+        "m2 AS MATERIALIZED (SELECT SUM(k) AS s FROM deg)",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS c FROM pb_vertices)",
+    ]
+    for r in range(rounds):
+        prev, nxt = f"c{r}", f"c{r + 1}"
+        parts.append(
+            f"tot{r} AS MATERIALIZED (SELECT c, SUM(k) AS t FROM {prev} JOIN deg USING (vid) GROUP BY c)"
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT e.a AS i, cc.c AS cand, COUNT(*)::DOUBLE AS w_ic
+  FROM pb_und e JOIN {prev} cc ON cc.vid = e.b GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""g{r} AS MATERIALIZED (
+  SELECT v.i, v.cand,
+         v.w_ic - (t.t - CASE WHEN v.cand = my.c THEN d.k ELSE 0.0 END)
+                  * d.k / (SELECT s FROM m2) AS gain
+  FROM v{r} v
+  JOIN deg d ON d.vid = v.i
+  JOIN {prev} my ON my.vid = v.i
+  JOIN tot{r} t ON t.c = v.cand)"""
+        )
+        parts.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT i, cand, gain FROM (
+    SELECT i, cand, gain,
+           ROW_NUMBER() OVER (PARTITION BY i ORDER BY gain DESC, cand ASC) AS rn
+    FROM g{r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT g.i, g.gain FROM g{r} g "
+            f"JOIN {prev} my ON my.vid = g.i AND g.cand = my.c)"
+        )
+        parts.append(
+            f"""{nxt} AS MATERIALIZED (
+  SELECT cp.vid,
+         CASE WHEN b.gain > COALESCE(s.gain, 0.0) + 1e-12
+              THEN b.cand ELSE cp.c END AS c
+  FROM {prev} cp
+  LEFT JOIN b{r} b ON b.i = cp.vid
+  LEFT JOIN s{r} s ON s.i = cp.vid)"""
+        )
+    parts.append(f"fin AS MATERIALIZED (SELECT vid, c FROM c{rounds})")
+    parts.append("lab AS (SELECT c, MIN(vid) AS community FROM fin GROUP BY c)")
+    return ",\n".join(parts)
+
 
 _UND_COSUPP = """
 und AS (
@@ -2123,6 +2246,48 @@ UNION ALL SELECT 'set_count', c FROM nc""",
   SELECT v.vid, COALESCE(c.c_nationkey + 1000, v.vid) AS label
   FROM vertices v LEFT JOIN customer c ON c.c_custkey * 2 = v.vid''')}
 SELECT vid, label FROM l3""",
+        "louvain_communities": f"""WITH {_E_PBLK}, {_louvain_cte(8)}
+SELECT f.vid, l.community FROM fin f JOIN lab l USING (c) ORDER BY vid""",
+        "infomap_modules": f"""WITH {_E_PBLK},
+w AS (
+  SELECT DISTINCT vid, module, p, reported_l
+  FROM read_parquet('{_WITNESS_DIR}/infomap_*.parquet')
+  WHERE nv = (SELECT COUNT(*) FROM pb_vertices)
+),
+deg AS (SELECT a AS vid, COUNT(*)::DOUBLE AS wd FROM pb_und GROUP BY a),
+av AS (SELECT w.vid, w.p / d.wd AS a_v FROM w JOIN deg d ON d.vid = w.vid),
+fl AS (
+  SELECT e.a AS i, e.b AS j, (ai.a_v + aj.a_v) * 0.5 AS f
+  FROM pb_und e JOIN av ai ON ai.vid = e.a JOIN av aj ON aj.vid = e.b
+),
+sv AS (SELECT i AS vid, SUM(f) AS s FROM fl GROUP BY i),
+downv AS (
+  SELECT fl.i AS vid, SUM(fl.f) AS d_own
+  FROM fl JOIN w wi ON wi.vid = fl.i JOIN w wj ON wj.vid = fl.j
+  WHERE wi.module = wj.module GROUP BY fl.i
+),
+per_v AS (
+  SELECT w.vid, w.module, w.p, sv.s, COALESCE(downv.d_own, 0.0) AS d_own
+  FROM w JOIN sv ON sv.vid = w.vid LEFT JOIN downv ON downv.vid = w.vid
+),
+qc AS (SELECT module, SUM(s - d_own) AS q, SUM(p) AS sump FROM per_v GROUP BY module),
+lm AS (SELECT
+    (SELECT CASE WHEN SUM(q) > 0 THEN SUM(q) * log2(SUM(q)) ELSE 0.0 END FROM qc)
+  - 2 * (SELECT SUM(CASE WHEN q > 0 THEN q * log2(q) ELSE 0.0 END) FROM qc)
+  - (SELECT SUM(CASE WHEN p > 0 THEN p * log2(p) ELSE 0.0 END) FROM w)
+  + (SELECT SUM(CASE WHEN q + sump > 0 THEN (q + sump) * log2(q + sump) ELSE 0.0 END) FROM qc)
+  AS l),
+l0 AS (SELECT
+    (SELECT CASE WHEN SUM(s) > 0 THEN SUM(s) * log2(SUM(s)) ELSE 0.0 END FROM sv)
+  - 2 * (SELECT SUM(CASE WHEN s > 0 THEN s * log2(s) ELSE 0.0 END) FROM sv)
+  - (SELECT SUM(CASE WHEN p > 0 THEN p * log2(p) ELSE 0.0 END) FROM w)
+  + (SELECT SUM(CASE WHEN s + p > 0 THEN (s + p) * log2(s + p) ELSE 0.0 END) FROM per_v)
+  AS l),
+ok AS (SELECT
+      abs((SELECT l FROM lm) - (SELECT ANY_VALUE(reported_l) FROM w)) < 1e-6
+  AND (SELECT l FROM lm) <= (SELECT l FROM l0) + 1e-9
+  AND abs((SELECT SUM(p) FROM w) - 1.0) < 1e-9 AS good)
+SELECT vid, module FROM w WHERE (SELECT good FROM ok) ORDER BY vid""",
         "scc": f"""WITH RECURSIVE {_E_CYC},
 reach AS (
   SELECT vid AS s, vid AS v FROM vertices

@@ -186,7 +186,9 @@ def _wcc_actor(
         labels = new
 
 
-def _wcc_range(graph: GraphTables) -> tuple[np.ndarray, int]:
+def _wcc_range(
+    graph: GraphTables, threshold: Optional[float] = None
+) -> tuple[np.ndarray, int]:
     """Range-sharded WCC (the >10^8-vertex multi-node path): label
     slices live in range-owner actors; per round the min-candidate
     partials flow edge-shard → owner through the object store and the
@@ -200,9 +202,10 @@ def _wcc_range(graph: GraphTables) -> tuple[np.ndarray, int]:
     sg = graph.sharded()
     eng = RangeEngine(sg)
     eng.set_vector(arr=np.arange(graph.n, dtype=np.int64))
+    thr = None if threshold is None else float(threshold)
     rounds = 0
     while True:
-        changed = eng.min_round()
+        changed = eng.min_round(thr=thr)
         rounds += 1
         if changed == 0:
             break
@@ -222,9 +225,9 @@ def wcc(
     t0 = time.perf_counter()
     n = graph.n
     if engine == "range":
-        if threshold is not None:
-            raise ValueError("range engine does not support threshold yet")
-        labels, rounds = _wcc_range(graph)
+        if threshold is not None and not graph.weighted:
+            raise ValueError("threshold requires a weighted graph")
+        labels, rounds = _wcc_range(graph, threshold)
         vids = graph.vids
         return ComponentsResult(
             labels=labels,

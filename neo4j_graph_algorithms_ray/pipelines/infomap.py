@@ -230,5 +230,8 @@ def infomap(
         community_count=int(len(cu)),
         codelength=L,
         iterations=rounds + levels - 1,
-        metrics={"seconds": time.perf_counter() - t0},
+        # p is part of the result contract: an external checker needs the
+        # visit probabilities to recompute the map-equation codelength of
+        # the emitted partition (the witness oracle in __ray_entry__)
+        metrics={"seconds": time.perf_counter() - t0, "p": p},
     )

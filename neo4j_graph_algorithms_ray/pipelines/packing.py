@@ -68,20 +68,24 @@ def pack_sequences(
     base = np.concatenate([[0], np.cumsum(sums)[:-1]])
     base_ref = ray.put((buckets, base))
 
-    # phase 2: bucket-local cumsum on the co-located pair table
-    def offsets(df: pd.DataFrame, _b=base_ref) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame(
-                {
-                    c: pd.Series([], dtype="int64")
-                    for c in ("doc_id", "n_tokens", "tok_offset", "bin_id", "bin_pos")
-                }
+    # phase 2: bucket-local cumsum on the co-located pair table —
+    # zero-copy Arrow in, numpy lexsort + segmented rebase, Arrow out
+    # (no pandas conversion on this pure-integer fold)
+    def offsets(t: "pa.Table", _b=base_ref) -> "pa.Table":
+        import pyarrow as pa
+
+        if not t.num_rows:
+            z = np.empty(0, np.int64)
+            return pa.table(
+                {c: z for c in ("doc_id", "n_tokens", "tok_offset", "bin_id", "bin_pos")}
             )
         buckets, base = ray.get(_b)
-        df = df.sort_values(["bucket", "doc_id"], kind="stable").reset_index(drop=True)
-        n = df["n_tokens"].to_numpy(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_all = t["n_tokens"].to_numpy(zero_copy_only=False)
+        bk_all = t["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk_all))
+        ids, n, bk = ids[order], n_all[order], bk_all[order]
         cum = np.cumsum(n) - n  # exclusive within the frame
-        bk = df["bucket"].to_numpy(np.int64)
         # rebase each bucket's run: subtract the run's own start, add
         # the global bucket base
         starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
@@ -91,9 +95,9 @@ def pack_sequences(
             - np.repeat(cum[starts], run_lens)
             + np.repeat(base[np.searchsorted(buckets, bk[starts])], run_lens)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "doc_id": ids,
                 "n_tokens": n,
                 "tok_offset": off,
                 "bin_id": off // budget,
@@ -102,5 +106,5 @@ def pack_sequences(
         )
 
     return tok.repartition(shuffle_width(), keys=["bucket"]).map_batches(
-        offsets, batch_format="pandas", batch_size=None
+        offsets, batch_format="pyarrow", batch_size=None
     )

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -468,6 +470,12 @@ def cosine_neardup(
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+# above this vector count the exact blocked-broadcast pair kernel is an
+# O(n²) sweep no cluster should run — metric_pairs(engine="auto")
+# switches to the LSH-bucketed candidate/verify path
+_EXACT_PAIRS_MAX_VECS = 100_000
+
+
 def metric_pairs(
     embeddings: "rd.Dataset",
     cutoff: float,
@@ -476,6 +484,7 @@ def metric_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_decimals: int = 4,
+    engine: str = "auto",  # auto | exact | bucketed
 ) -> "rd.Dataset":
     """Cutoff pair STREAM under any §2.6 metric — the reference
     ``algo.similarity.cosine/pearson/euclidean.stream`` surface
@@ -485,12 +494,24 @@ def metric_pairs(
     (``round_decimals``, half-away) so boundary pairs bucket
     identically to a SQL oracle using the same ROUND.
 
-    Same blocked-broadcast kernel as :func:`cosine_neardup`
-    (stream-built matrix shipped once via ray.put, O(n²/B) matmul per
-    block) — exact; for cosine at ≥10⁶ vectors route through
-    :func:`lsh_cosine_neardup` instead. Returns a Dataset
+    Engines: ``exact`` is the blocked-broadcast kernel of
+    :func:`cosine_neardup` (stream-built matrix shipped once via
+    ray.put, O(n²/B) matmul per block); ``bucketed`` is
+    :func:`lsh_metric_pairs` (hyperplane-sign LSH for cosine/pearson,
+    p-stable for euclidean — no O(n²) sweep, no full-matrix broadcast;
+    recall measured in tests). ``auto`` picks exact below
+    ``_EXACT_PAIRS_MAX_VECS`` vectors. Returns a Dataset
     ``(vec_id_a, vec_id_b, score)``.
     """
+    if engine == "auto":
+        engine = (
+            "exact" if embeddings.count() <= _EXACT_PAIRS_MAX_VECS else "bucketed"
+        )
+    if engine == "bucketed":
+        return lsh_metric_pairs(
+            embeddings, cutoff, metric=metric, id_col=id_col, vec_col=vec_col,
+            round_decimals=round_decimals,
+        )
     # euclidean needs raw magnitudes; cosine/pearson are
     # scale-invariant (centering commutes with row scaling), so the
     # pre-normalized stream is fine for them
@@ -549,10 +570,19 @@ def lsh_cosine_neardup(
     (exact cosine verify), so no O(n²) sweep and no full-matrix
     broadcast. A pair colliding in ≥1 table survives; recall vs the
     exact kernel is 1-(1-p^planes)^tables with p = 1 - θ/π (measured in
-    tests/test_similarity_windows.py). Buckets larger than
-    ``max_bucket`` are skipped (degenerate-hash blowup guard — mirrors
-    the corpus heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
-    exact-verified, deduped across tables."""
+    tests/test_round2.py). Buckets larger than ``max_bucket`` are
+    skipped (degenerate-hash blowup guard — mirrors the corpus
+    heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
+    exact-verified, deduped across tables.
+
+    Shuffle payload: the bucket exchange carries ONLY 16 B/row
+    (bucket, vec_id) — NOT the embedding — so the ``tables``-way
+    fan-out costs 16·16 B/vector instead of 16 vector payloads.
+    Vectors are joined back to the surviving CANDIDATE pairs for the
+    exact verify in two further keyed exchanges (attach vec_b on the
+    doc_b key, then vec_a + score on the doc_a key), each moving one
+    float32 vector per candidate plus one streaming pass of the corpus
+    vectors."""
     first = embeddings.take(1)
     if not first:
         return rd.from_pandas(
@@ -567,66 +597,392 @@ def lsh_cosine_neardup(
     H = rng.standard_normal((tables, dim, planes))
     h_ref = ray.put(H)
     weights = (1 << np.arange(planes)).astype(np.int64)
+    width = shuffle_width(source_size_bytes(embeddings))
 
     def sketch(df: pd.DataFrame) -> pd.DataFrame:
         Hm = ray.get(h_ref)
         m = _normalize(_to_matrix(df, vec_col))
         vids = df[id_col].to_numpy(np.int64)
-        frames = []
-        for t in range(Hm.shape[0]):
-            bits = (m @ Hm[t] > 0) @ weights
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "bucket": (np.int64(t) << np.int64(32)) | bits,
-                        "vec_id": vids,
-                        "vec": [v.astype(np.float32).tobytes() for v in m],
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
-
-    def bucket_pairs(df: pd.DataFrame, _thr=threshold, _cap=max_bucket) -> pd.DataFrame:
-        out_a, out_b, out_s = [], [], []
-        for _, grp in df.groupby("bucket", sort=False):
-            k = len(grp)
-            if k < 2 or k > _cap:
-                continue
-            vids = grp["vec_id"].to_numpy(np.int64)
-            m = np.frombuffer(b"".join(grp["vec"]), dtype=np.float32).reshape(k, -1)
-            m64 = m.astype(np.float64)
-            sims = m64 @ m64.T
-            ai, bi = np.nonzero(
-                np.triu(sims >= _thr, 1) & (vids[:, None] != vids[None, :])
-            )
-            lo = np.minimum(vids[ai], vids[bi])
-            hi = np.maximum(vids[ai], vids[bi])
-            out_a.append(lo)
-            out_b.append(hi)
-            out_s.append(sims[ai, bi])
-        if not out_a:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "sim": pd.Series([], dtype="float64")}
-            )
+        n, T = len(vids), Hm.shape[0]
+        bits = np.empty((T, n), dtype=np.int64)
+        for t in range(T):
+            bits[t] = (m @ Hm[t] > 0) @ weights
         return pd.DataFrame(
             {
-                "doc_a": np.concatenate(out_a),
-                "doc_b": np.concatenate(out_b),
-                "sim": np.concatenate(out_s),
+                "bucket": (
+                    (np.repeat(np.arange(T, dtype=np.int64), n) << np.int64(32))
+                    | bits.reshape(-1)
+                ),
+                "vec_id": np.tile(vids, T),
             }
         )
 
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # same pair found by several tables — keep one (max sim; sims are
-        # equal up to fp noise since the verify is exact)
-        return df.groupby(["doc_a", "doc_b"], as_index=False, sort=False)["sim"].max()
+    def bucket_candidates(df: pd.DataFrame, _cap=max_bucket) -> pd.DataFrame:
+        # run-length bucket scan (same shape as dedup.bucket_pairs):
+        # candidate (lo, hi) id pairs only — no vectors here
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return empty
+        bh = df["bucket"].to_numpy(np.int64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        new = np.empty(len(bh), dtype=bool)
+        new[0] = True
+        new[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(bh))
+        lens = ends - starts
+        pick = (lens >= 2) & (lens <= _cap)
+        if not pick.any():
+            return empty
+        I_parts, J_parts = [], []
+        for L in np.unique(lens[pick]):
+            s_L = starts[pick][lens[pick] == L]
+            ii, jj = np.triu_indices(int(L), 1)
+            I_parts.append((s_L[:, None] + ii[None, :]).ravel())
+            J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
+        a, b = ids[I], ids[J]
+        keep = a != b
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+        )
 
-    return (
+    def vec_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # normalized float32 payload (same float32 round-trip as the
+        # prior wire format so verified sims are bit-identical)
+        m = _normalize(_to_matrix(df, vec_col))
+        return pd.DataFrame(
+            {
+                "key": df[id_col].to_numpy(np.int64),
+                "doc_a": np.full(len(df), -1, np.int64),
+                "vec": [v.astype(np.float32).tobytes() for v in m],
+            }
+        )
+
+    def cand_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+        # home candidates on doc_b; dedup across tables happens here
+        # (every copy of a pair lands in this one keyed block)
+        d = df.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame(
+            {
+                "key": d["doc_b"].to_numpy(np.int64),
+                "doc_a": d["doc_a"].to_numpy(np.int64),
+                "vec": np.full(len(d), b"", dtype=object),
+            }
+        )
+
+    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"key": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype=object)}
+        )
+        cand = df[df["doc_a"] >= 0]
+        if not len(cand):
+            return out_empty
+        cand = cand.drop_duplicates(["doc_a", "key"])  # cross-block dups
+        vecs = df[df["doc_a"] < 0][["key", "vec"]]
+        m = cand[["key", "doc_a"]].merge(vecs, on="key", how="inner")
+        # re-key on doc_a for the second attach; carry doc_b + its vec
+        return pd.DataFrame(
+            {
+                "key": m["doc_a"].to_numpy(np.int64),
+                "doc_b": m["key"].to_numpy(np.int64),
+                "vec_b": m["vec"].to_numpy(object),
+            }
+        )
+
+    def vec_rows2(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_to_matrix(df, vec_col))
+        return pd.DataFrame(
+            {
+                "key": df[id_col].to_numpy(np.int64),
+                "doc_b": np.full(len(df), -1, np.int64),
+                "vec_b": [v.astype(np.float32).tobytes() for v in m],
+            }
+        )
+
+    def score(df: pd.DataFrame, _thr=threshold) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "sim": pd.Series([], dtype="float64")}
+        )
+        cand = df[df["doc_b"] >= 0]
+        if not len(cand):
+            return out_empty
+        vecs = df[df["doc_b"] < 0][["key", "vec_b"]].rename(columns={"vec_b": "vec_a"})
+        m = cand.merge(vecs, on="key", how="inner")
+        if not len(m):
+            return out_empty
+        va = np.frombuffer(b"".join(m["vec_a"]), dtype=np.float32).reshape(len(m), -1)
+        vb = np.frombuffer(b"".join(m["vec_b"]), dtype=np.float32).reshape(len(m), -1)
+        sim = np.einsum(
+            "ij,ij->i", va.astype(np.float64), vb.astype(np.float64)
+        )
+        keep = sim >= _thr
+        return pd.DataFrame(
+            {
+                "doc_a": m["key"].to_numpy(np.int64)[keep],
+                "doc_b": m["doc_b"].to_numpy(np.int64)[keep],
+                "sim": sim[keep],
+            }
+        )
+
+    candidates = (
         embeddings.map_batches(sketch, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(embeddings)), keys=["bucket"])
-        .map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-        .repartition(shuffle_width(source_size_bytes(embeddings)), keys=["doc_a"])
-        .map_batches(dedup_pairs, batch_format="pandas", batch_size=None)
+        .repartition(width, keys=["bucket"])
+        .map_batches(bucket_candidates, batch_format="pandas", batch_size=None)
+    )
+    with_b = (
+        candidates.map_batches(cand_rows_b, batch_format="pandas")
+        .union(embeddings.map_batches(vec_rows, batch_format="pandas"))
+        .repartition(width, keys=["key"])
+        .map_batches(attach_b, batch_format="pandas", batch_size=None)
+    )
+    return (
+        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pandas"))
+        .repartition(width, keys=["key"])
+        .map_batches(score, batch_format="pandas", batch_size=None)
+    )
+
+
+def lsh_metric_pairs(
+    embeddings: "rd.Dataset",
+    cutoff: float,
+    *,
+    metric: str = "euclidean",  # euclidean | pearson | cosine
+    tables: int = 12,
+    planes: int = 8,
+    bucket_width: Optional[float] = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int = 4,
+    max_bucket: int = 10_000,
+) -> "rd.Dataset":
+    """Bucketed cutoff pair-stream — the scale path behind
+    :func:`metric_pairs` for EVERY §2.6 metric (the reference
+    ``algo.similarity.euclidean/pearson.stream`` at sizes where the
+    exact O(n²) sweep is infeasible):
+
+    - cosine/pearson: random-hyperplane sign buckets over the
+      (centered+)normalized vectors — pearson(x, y) IS the cosine of
+      the centered vectors, so one sketch serves both;
+    - euclidean: p-stable projections (Datar et al. 2004) —
+      ``planes`` quantized Gaussian projections
+      ``floor((v·a + b)/w)`` per table, bucket = their mixed hash;
+      ``bucket_width`` defaults to 2·cutoff (the collision s-curve
+      midpoint lands near the cutoff).
+
+    Same shuffle discipline as :func:`lsh_cosine_neardup`: the
+    ``tables``-way bucket exchange carries (bucket, vec_id) rows ONLY;
+    candidate pairs are deduped on their first keyed exchange and
+    exact-verified (float64, same prep as the exact kernel, same
+    ROUND-half-away compare) by joining vectors back on two further
+    keyed exchanges. Approximate in RECALL only — every emitted pair
+    is exact-verified; recall vs the exact kernel is measured in
+    tests/test_similarity_windows.py. Buckets above ``max_bucket``
+    are skipped (degenerate-hash guard). Returns a Dataset
+    ``(vec_id_a, vec_id_b, score)``.
+    """
+    first = embeddings.take(1)
+    empty = pd.DataFrame(
+        {"vec_id_a": pd.Series([], dtype="int64"),
+         "vec_id_b": pd.Series([], dtype="int64"),
+         "score": pd.Series([], dtype="float64")}
+    )
+    if not first:
+        return rd.from_pandas(empty)
+    dim = len(first[0][vec_col])
+    rng = np.random.default_rng(seed)
+    scale = 10.0**round_decimals
+    width = shuffle_width(source_size_bytes(embeddings))
+
+    def prep(m: np.ndarray) -> np.ndarray:
+        if metric == "pearson":
+            return _normalize(m - m.mean(axis=1, keepdims=True))
+        if metric == "cosine":
+            return _normalize(m)
+        return m  # euclidean: raw
+
+    if metric == "euclidean":
+        w = float(bucket_width) if bucket_width is not None else 2.0 * max(cutoff, 1e-9)
+        A = rng.standard_normal((tables, dim, planes))
+        B = rng.uniform(0.0, w, size=(tables, planes))
+        sk_ref = ray.put((A, B))
+
+        def buckets(m: np.ndarray) -> np.ndarray:
+            Am, Bm = ray.get(sk_ref)
+            T = Am.shape[0]
+            out = np.empty((T, len(m)), dtype=np.int64)
+            mix1 = np.uint64(0xBF58476D1CE4E5B9)
+            for t in range(T):
+                h = np.floor((m @ Am[t] + Bm[t][None, :]) / w).astype(np.int64)
+                acc = np.full(len(m), np.uint64(t) + np.uint64(0x9E3779B97F4A7C15))
+                for j in range(h.shape[1]):
+                    v = h[:, j].astype(np.uint64)
+                    acc = (acc ^ v) * mix1
+                    acc ^= acc >> np.uint64(29)
+                out[t] = (acc >> np.uint64(1)).astype(np.int64)
+            return out
+    else:
+        H = rng.standard_normal((tables, dim, planes))
+        h_ref = ray.put(H)
+        wts = (1 << np.arange(planes)).astype(np.int64)
+
+        def buckets(m: np.ndarray) -> np.ndarray:
+            Hm = ray.get(h_ref)
+            T = Hm.shape[0]
+            out = np.empty((T, len(m)), dtype=np.int64)
+            for t in range(T):
+                out[t] = ((np.int64(t) << np.int64(32)) | ((m @ Hm[t] > 0) @ wts))
+            return out
+
+    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+        m = prep(_to_matrix(df, vec_col))
+        vids = df[id_col].to_numpy(np.int64)
+        bk = buckets(m)  # (T, n)
+        return pd.DataFrame(
+            {"bucket": bk.reshape(-1), "vec_id": np.tile(vids, bk.shape[0])}
+        )
+
+    def bucket_candidates(df: pd.DataFrame, _cap=max_bucket) -> pd.DataFrame:
+        cand_empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64")}
+        )
+        if not len(df):
+            return cand_empty
+        bh = df["bucket"].to_numpy(np.int64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, bh))
+        bh, ids = bh[order], ids[order]
+        new = np.empty(len(bh), dtype=bool)
+        new[0] = True
+        new[1:] = bh[1:] != bh[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(bh))
+        lens = ends - starts
+        pick = (lens >= 2) & (lens <= _cap)
+        if not pick.any():
+            return cand_empty
+        I_parts, J_parts = [], []
+        for L in np.unique(lens[pick]):
+            s_L = starts[pick][lens[pick] == L]
+            ii, jj = np.triu_indices(int(L), 1)
+            I_parts.append((s_L[:, None] + ii[None, :]).ravel())
+            J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+        I = np.concatenate(I_parts)
+        J = np.concatenate(J_parts)
+        a, b = ids[I], ids[J]
+        keep = a != b
+        return pd.DataFrame(
+            {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+        )
+
+    def vec_rows(key_of_vec: str, marker_col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = prep(_to_matrix(df, vec_col))
+            return pd.DataFrame(
+                {
+                    "key": df[id_col].to_numpy(np.int64),
+                    marker_col: np.full(len(df), -1, np.int64),
+                    "vec": [v.tobytes() for v in m],  # float64 payload
+                }
+            )
+
+        return f
+
+    def cand_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame(
+            {
+                "key": d["doc_b"].to_numpy(np.int64),
+                "doc_a": d["doc_a"].to_numpy(np.int64),
+                "vec": np.full(len(d), b"", dtype=object),
+            }
+        )
+
+    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"key": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "vec_b": pd.Series([], dtype=object)}
+        )
+        cand = df[df["doc_a"] >= 0]
+        if not len(cand):
+            return out_empty
+        cand = cand.drop_duplicates(["doc_a", "key"])
+        vecs = df[df["doc_a"] < 0][["key", "vec"]]
+        m = cand[["key", "doc_a"]].merge(vecs, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "key": m["doc_a"].to_numpy(np.int64),
+                "doc_b": m["key"].to_numpy(np.int64),
+                "vec_b": m["vec"].to_numpy(object),
+            }
+        )
+
+    def vec_rows2(df: pd.DataFrame) -> pd.DataFrame:
+        m = prep(_to_matrix(df, vec_col))
+        return pd.DataFrame(
+            {
+                "key": df[id_col].to_numpy(np.int64),
+                "doc_b": np.full(len(df), -1, np.int64),
+                "vec_b": [v.tobytes() for v in m],
+            }
+        )
+
+    def score(df: pd.DataFrame, _cut=cutoff) -> pd.DataFrame:
+        cand = df[df["doc_b"] >= 0]
+        if not len(cand):
+            return empty
+        vecs = df[df["doc_b"] < 0][["key", "vec_b"]].rename(columns={"vec_b": "vec_a"})
+        m = cand.merge(vecs, on="key", how="inner")
+        if not len(m):
+            return empty
+        va = np.frombuffer(b"".join(m["vec_a"]), dtype=np.float64).reshape(len(m), -1)
+        vb = np.frombuffer(b"".join(m["vec_b"]), dtype=np.float64).reshape(len(m), -1)
+        if metric == "euclidean":
+            s = np.sqrt(
+                np.maximum(
+                    (va * va).sum(axis=1) + (vb * vb).sum(axis=1)
+                    - 2.0 * np.einsum("ij,ij->i", va, vb),
+                    0.0,
+                )
+            )
+        else:
+            s = np.einsum("ij,ij->i", va, vb)
+        s = np.floor(s * scale + 0.5) / scale
+        keep = s <= _cut if metric == "euclidean" else s >= _cut
+        return pd.DataFrame(
+            {
+                "vec_id_a": m["key"].to_numpy(np.int64)[keep],
+                "vec_id_b": m["doc_b"].to_numpy(np.int64)[keep],
+                "score": s[keep],
+            }
+        )
+
+    candidates = (
+        embeddings.map_batches(sketch, batch_format="pandas")
+        .repartition(width, keys=["bucket"])
+        .map_batches(bucket_candidates, batch_format="pandas", batch_size=None)
+    )
+    with_b = (
+        candidates.map_batches(cand_rows_b, batch_format="pandas")
+        .union(embeddings.map_batches(vec_rows("doc_b", "doc_a"), batch_format="pandas"))
+        .repartition(width, keys=["key"])
+        .map_batches(attach_b, batch_format="pandas", batch_size=None)
+    )
+    return (
+        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pandas"))
+        .repartition(width, keys=["key"])
+        .map_batches(score, batch_format="pandas", batch_size=None)
     )

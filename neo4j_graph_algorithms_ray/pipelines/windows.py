@@ -35,16 +35,25 @@ def tumbling_window(
         out.columns = ["user_id", "window_start", "n_events", "sum_value"]
         return out.astype({"user_id": "int64", "n_events": "int64"})
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "window_start"], sort=False, as_index=False)
-        out = g.agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-        return out
-
     return (
         events.map_batches(part, batch_format="pandas")
         .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _window_fold(t: "pa.Table") -> "pa.Table":
+    """(user_id, window_start) partial-sum fold — zero-copy Arrow
+    group_by (this stage is pure integers/sums; only the map-side
+    ``part`` stages need pandas datetime ops)."""
+    import pyarrow as pa
+
+    g = t.group_by(["user_id", "window_start"]).aggregate(
+        [("n_events", "sum"), ("sum_value", "sum")]
+    )
+    return g.select(
+        ["user_id", "window_start", "n_events_sum", "sum_value_sum"]
+    ).rename_columns(["user_id", "window_start", "n_events", "sum_value"])
 
 
 def hopping_window(
@@ -86,14 +95,10 @@ def hopping_window(
         g = allw.groupby(["user_id", "window_start"], sort=False, as_index=False)
         return g.agg(n_events=("n", "sum"), sum_value=("v", "sum"))
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["user_id", "window_start"], sort=False, as_index=False)
-        return g.agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
-
     return (
         events.map_batches(part, batch_format="pandas")
         .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
     )
 
 

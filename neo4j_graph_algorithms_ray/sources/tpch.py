@@ -218,6 +218,37 @@ def signed_co_supplier_edges(sf_dir: str) -> pa.Table:
     return t
 
 
+def part_blocks_edges(sf_dir: str) -> pa.Table:
+    """Community-structured fixture over the part table: vertices =
+    p_partkey, edges (a, b) with a < b, same 8-key block
+    (a//8 == b//8) and b − a ≤ 3 — disjoint near-clique blocks whose
+    Louvain/InfoMap partitions are NON-trivial (Louvain splits each
+    block in two, InfoMap keeps whole blocks), unlike the complete
+    co_supplier graph. Exactly mirrored by a SQL self-join on part."""
+    k = ("pblocks", sf_dir)
+    if k in _CACHE:
+        return _CACHE[k]
+    parts = _read(sf_dir, "part", ["p_partkey"])
+    n = parts.count()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs_s, outs_d = [], []
+        for d in (1, 2, 3):
+            b = a + d
+            m = (b // 8 == a // 8) & (b < n)
+            outs_s.append(a[m])
+            outs_d.append(b[m])
+        return pa.table(
+            {"u": np.concatenate(outs_s), "v": np.concatenate(outs_d)}
+        )
+
+    pairs = parts.map_batches(expand, batch_format="pyarrow", batch_size=None)
+    t = _distinct_pairs(pairs, "u", "v")
+    _CACHE[k] = t
+    return t
+
+
 def graph_for(sf_dir: str, which: str) -> GraphTables:
     """Projected GraphTables per derived edge table (cached per sf_dir)."""
     k = ("graph", which, sf_dir)
@@ -240,6 +271,9 @@ def graph_for(sf_dir: str, which: str) -> GraphTables:
         g = GraphTables.from_dataset(
             rd.from_arrow(t), src="u", dst="v", weight="weight"
         )
+    elif which == "part_blocks":
+        t = part_blocks_edges(sf_dir)
+        g = GraphTables.from_dataset(rd.from_arrow(t), src="u", dst="v")
     else:  # pragma: no cover
         raise ValueError(which)
     _CACHE[k] = g

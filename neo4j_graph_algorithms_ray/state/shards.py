@@ -111,6 +111,7 @@ class _EdgeShard:
         self._d_inv = None  # lazy: only the sparse (n > DENSE_MAX_N) path
         self._s_group = None  # lazy src grouping (reverse direction)
         self._star = None  # lazy local-CC star edges (WCC)
+        self._thr_cache: dict = {}  # threshold -> filtered (si, di)
 
     # vertices-fit-in-cache cutover: below this dense_n the scatter uses
     # per-chunk bincount into an n-sized accumulator (no sorted layout to
@@ -298,16 +299,33 @@ class _EdgeShard:
         pieces = [dense[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
 
-    def min_split(self, cuts, *slices):
+    def _thr_edges(self, thr):
+        """Edge streams filtered to weight > thr, memoized per threshold
+        (a fixpoint runs many rounds over the same filtered view — the
+        reference unionFind's ``threshold`` option, applied shard-side
+        so the filter never re-shuffles anything)."""
+        if thr is None:
+            return self.si, self.di
+        key = float(thr)
+        if key not in self._thr_cache:
+            if self.w is None:
+                raise ValueError("threshold requires a weighted graph")
+            m = self.w > key
+            self._thr_cache[key] = (self.si[m], self.di[m])
+        return self._thr_cache[key]
+
+    def min_split(self, cuts, thr, *slices):
         """Range-engine WCC round: label vector arrives as slices,
         per-destination min-label candidates return split at ``cuts``
-        (missing vertices carry the int64 max sentinel)."""
+        (missing vertices carry the int64 max sentinel). ``thr``
+        restricts propagation to edges with weight > thr (None = all)."""
         labels = np.concatenate(slices) if len(slices) > 1 else slices[0]
         dense_n = int(cuts[-1])
         out = np.full(dense_n, np.iinfo(np.int64).max, dtype=np.int64)
+        si, di = self._thr_edges(thr)
         # undirected min propagation: both directions in one pass
         # (int32 index streams are valid fancy indices — no astype copies)
-        for a, b in ((self.si, self.di), (self.di, self.si)):
+        for a, b in ((si, di), (di, si)):
             np.minimum.at(out, b, labels[a])
         pieces = [out[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
@@ -926,7 +944,7 @@ class RangeEngine:
             ]
         )
 
-    def _round_refs(self, method: str, weighted: bool):
+    def _round_refs(self, method: str, weighted: bool, thr=None):
         """One scatter round: returns piece_refs[s][r] without fetching."""
         R = self.num_ranges
         slice_refs = [o.premult.remote() for o in self.owners]
@@ -938,7 +956,7 @@ class RangeEngine:
                 )
             else:
                 fut = a.min_split.options(num_returns=R).remote(
-                    self.cuts, *slice_refs
+                    self.cuts, thr, *slice_refs
                 )
             piece_refs.append(fut if R > 1 else [fut])
         return piece_refs
@@ -971,8 +989,8 @@ class RangeEngine:
         ]
         return int(sum(ray.get(futs)))
 
-    def min_round(self) -> int:
-        piece_refs = self._round_refs("min", weighted=False)
+    def min_round(self, thr=None) -> int:
+        piece_refs = self._round_refs("min", weighted=False, thr=thr)
         futs = [
             o.min_update.remote(*[piece_refs[s][r] for s in range(len(piece_refs))])
             for r, o in enumerate(self.owners)

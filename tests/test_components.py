@@ -37,6 +37,22 @@ def test_wcc_threshold_splits_component():
     assert res.components[ids["f"]] == ids["f"]
 
 
+def test_wcc_threshold_range_engine_matches():
+    """The >10^8-vertex range engine honors the reference unionFind
+    ``threshold`` semantics (edges filtered shard-side at round time)."""
+    rng = np.random.default_rng(5)
+    n, m = 500, 3000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.random(m)
+    g = GraphTables.from_arrays(src, dst, weight=w, extra_vids=np.arange(n))
+    for thr in (0.5, 0.9):
+        a = wcc(g, threshold=thr, engine="dataflow")
+        b = wcc(g, threshold=thr, engine="range")
+        np.testing.assert_array_equal(a.components, b.components)
+        assert a.set_count == b.set_count
+
+
 @pytest.mark.parametrize("reduce_local", [True, False])
 def test_wcc_random_vs_oracle(reduce_local):
     rng = np.random.default_rng(7)

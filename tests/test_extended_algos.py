@@ -208,3 +208,89 @@ def test_infomap_planted_partition_and_determinism():
     np.add.at(s, tgt, f)
     L_singleton = _codelength(s, p, p)
     assert r1.codelength < L_singleton
+
+
+def _part_blocks_graph(n=200):
+    """The __ray_entry__ louvain/infomap fixture shape: disjoint
+    8-vertex blocks, edges between keys ≤ 3 apart within a block."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    keys = np.arange(n, dtype=np.int64)
+    a_list, b_list = [], []
+    for d in (1, 2, 3):
+        a, b = keys[:-d], keys[d:]
+        m = (a // 8) == (b // 8)
+        a_list.append(a[m])
+        b_list.append(b[m])
+    t = pa.table(
+        {"src": np.concatenate(a_list), "dst": np.concatenate(b_list)}
+    )
+    return GraphTables.from_dataset(rd.from_arrow(t))
+
+
+def test_louvain_part_blocks_level1_is_final():
+    """The unrolled-CTE driver oracle replays LEVEL-1 rounds only; it is
+    sound because on the part_blocks fixture the coarse levels find no
+    improvement — the multilevel answer IS the level-1 fixpoint (and
+    that fixpoint is reached in ≤ 8 rounds, the oracle's unroll
+    depth). Guards the oracle's two assumptions explicitly."""
+    from neo4j_graph_algorithms_ray.pipelines.louvain import _gain_moves
+
+    g = _part_blocks_graph(200)
+    res = louvain(g)
+    sg = g.sharded()
+    k = sg.degree("out") + sg.degree("in")
+    m2 = float(k.sum())
+    comm = np.arange(g.n, dtype=np.int64)
+    rounds = 0
+    for _ in range(8):
+        tot = np.zeros(g.n)
+        np.add.at(tot, comm, k)
+        tgt, cand, w_ic = sg.vote_triples(comm, weighted=False, directed=False)
+        new = _gain_moves(tgt, cand, w_ic, comm, k, tot, m2)
+        rounds += 1
+        if (new == comm).all():
+            break
+        comm = new
+    assert rounds <= 8 and (new == comm).all(), "fixpoint not reached in 8 rounds"
+    cu, inv = np.unique(comm, return_inverse=True)
+    mm = np.full(len(cu), np.iinfo(np.int64).max)
+    np.minimum.at(mm, inv, g.vids)
+    np.testing.assert_array_equal(res.communities, mm[inv])
+    # the partition is strictly finer than components (non-trivial check)
+    assert res.community_count == 2 * (200 // 8)
+
+
+def test_infomap_witness_gate_rejects_corrupt_partition():
+    """The infomap driver oracle recomputes the witness partition's
+    codelength in SQL; a corrupted witness (wrong modules or wrong
+    reported codelength) must yield ZERO oracle rows, not a pass."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    entry.queries()["infomap_modules"](sf)  # writes the honest witness
+    sql = entry.oracle_sql()["infomap_modules"]
+
+    def run(con):
+        for tbl in ("part",):
+            con.sql(
+                f"CREATE OR REPLACE VIEW {tbl} AS "
+                f"SELECT * FROM read_parquet('{sf}/{tbl}.parquet')"
+            )
+        return con.sql(sql).df()
+
+    good = run(duckdb.connect())
+    assert len(good) == 200
+    # corrupt the witness: shift every module label to its vid (singletons)
+    path = entry._witness_path("infomap", sf)
+    w = pq.read_table(path).to_pandas()
+    w["module"] = w["vid"]
+    pq.write_table(pa.Table.from_pandas(w, preserve_index=False), path)
+    bad = run(duckdb.connect())
+    assert len(bad) == 0, "gate must reject a partition that mismatches reported_l"
+    # restore the honest witness for any later consumer
+    entry.queries()["infomap_modules"](sf)

@@ -54,6 +54,57 @@ def test_lsh_topk_recall():
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_lsh_metric_pairs_recall_vs_exact():
+    """Bucketed euclidean/pearson cutoff pair-streams: every emitted
+    pair must be in the exact kernel's output with the identical
+    rounded score, and recall on a planted near-pair set must clear
+    0.9 (p-stable / hyperplane tables at the defaults)."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import (
+        lsh_metric_pairs,
+        metric_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    m = rng.standard_normal((n, dim)).astype(np.float32) * 5.0
+    # plant 40 tight euclidean/pearson pairs
+    for i in range(40):
+        m[2 * i + 1] = m[2 * i] + 0.05 * rng.standard_normal(dim)
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": np.arange(n, dtype=np.int64),
+             "embedding": [r.tolist() for r in m]}
+        )
+    )
+    for metric, cutoff in (("euclidean", 1.0), ("pearson", 0.995)):
+        exact = (
+            metric_pairs(ds, cutoff, metric=metric, engine="exact")
+            .to_pandas().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        )
+        approx = (
+            lsh_metric_pairs(ds, cutoff, metric=metric)
+            .to_pandas().sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True)
+        )
+        e = set(map(tuple, exact[["vec_id_a", "vec_id_b"]].values))
+        a = set(map(tuple, approx[["vec_id_a", "vec_id_b"]].values))
+        assert a <= e, f"{metric}: emitted a pair the exact kernel rejects"
+        assert len(e) >= 40 and len(e & a) / len(e) >= 0.9, (metric, len(e), len(e & a))
+        merged = exact.merge(approx, on=["vec_id_a", "vec_id_b"], suffixes=("_e", "_a"))
+        assert np.allclose(merged["score_e"], merged["score_a"], atol=2e-4)
+
+
+def test_metric_pairs_auto_routes_small_to_exact():
+    ds, _ = _embeddings(n=50)
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_pairs
+
+    a = metric_pairs(ds, 0.95, metric="cosine", engine="auto").to_pandas()
+    b = metric_pairs(ds, 0.95, metric="cosine", engine="exact").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True),
+        b.sort_values(["vec_id_a", "vec_id_b"]).reset_index(drop=True),
+    )
+
+
 def test_cosine_neardup_finds_pair():
     ds, _ = _embeddings()
     pairs = cosine_neardup(ds, threshold=0.95)
