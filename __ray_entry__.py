@@ -1047,12 +1047,48 @@ def entry() -> Any:
     return rd.from_arrow(table)
 
 
+
+def _q_dup_rel(sf_dir: str, strategy: str) -> pa.Table:
+    """Duplicate-relationship strategies at import (reference
+    DuplicateRelationshipsStrategy NONE|SKIP|SUM|MIN|MAX, SURVEY.md
+    §1.2; SKIP pinned deterministic = MIN, COUNT = multiplicity).
+    Projects the NON-distinct orders⋈lineitem pair stream with the
+    strategy applied by the loader's keyed partial+fold exchange."""
+    from neo4j_graph_algorithms_ray.sources import tpch
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    key = ("dup_rel", strategy, sf_dir)
+    if key not in _RESULT_CACHE:
+        _RESULT_CACHE[key] = GraphTables.from_dataset(
+            tpch.multi_pairs_ds(sf_dir),
+            src="src",
+            dst="dst",
+            weight="qty",
+            dedup=strategy,
+        )
+    g = _RESULT_CACHE[key]
+    df = g.edges.to_pandas()
+    si = df["si"].to_numpy(np.int64)
+    di = df["di"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "src": g.vids[si],
+            "dst": g.vids[di],
+            "w": df["w"].to_numpy(np.float64),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph operators (SURVEY §2.2–2.5)
         "degree_out": _q_degree_out,
         "degree_in": _q_degree_in,
         "edge_count_dedup": _q_edge_count,
+        "dup_rel_sum": lambda sf: _q_dup_rel(sf, "sum"),
+        "dup_rel_max": lambda sf: _q_dup_rel(sf, "max"),
+        "dup_rel_skip": lambda sf: _q_dup_rel(sf, "skip"),
+        "dup_rel_count": lambda sf: _q_dup_rel(sf, "count"),
         "pagerank_k5": _q_pagerank_k5,
         "top_pagerank_10": _q_top_pagerank_10,
         "wcc": _q_wcc,
@@ -2199,11 +2235,23 @@ def _minhash_groups_sql() -> str:
 SELECT doc_id, min(label)::BIGINT AS group_id FROM cc GROUP BY doc_id"""
 
 
+_PAIRS_DUP = """
+pairs AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, l_quantity AS qty
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "degree_out": f"WITH {_E_BIP} SELECT src AS vid, COUNT(*) AS out_deg FROM edges GROUP BY src",
         "degree_in": f"WITH {_E_BIP} SELECT dst AS vid, COUNT(*) AS in_deg FROM edges GROUP BY dst",
         "edge_count_dedup": f"WITH {_E_BIP} SELECT COUNT(*) AS num_edges FROM edges",
+        "dup_rel_sum": f"WITH {_PAIRS_DUP} SELECT src, dst, SUM(qty) AS w FROM pairs GROUP BY src, dst",
+        "dup_rel_max": f"WITH {_PAIRS_DUP} SELECT src, dst, MAX(qty) AS w FROM pairs GROUP BY src, dst",
+        "dup_rel_skip": f"WITH {_PAIRS_DUP} SELECT src, dst, MIN(qty) AS w FROM pairs GROUP BY src, dst",
+        "dup_rel_count": f"WITH {_PAIRS_DUP} SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst",
         "pagerank_k5": f"WITH {_E_BIP}, {_pagerank_cte(5)} SELECT vid, ROUND(rank, 6) AS rank FROM r5",
         "top_pagerank_10": f"WITH {_E_BIP}, {_pagerank_cte(5)} "
         "SELECT vid, ROUND(rank, 6) AS rank FROM r5 "

@@ -202,6 +202,39 @@ def weighted_bipartite_edges(sf_dir: str) -> pa.Table:
     return t
 
 
+def multi_pairs_ds(sf_dir: str) -> "rd.Dataset":
+    """NON-distinct (o_custkey*2 → l_suppkey*2+1, qty=l_quantity) pair
+    stream — one row per lineitem, duplicates preserved. The substrate
+    for the duplicate-relationship-strategy queries (the reference's
+    ``DuplicateRelationshipsStrategy``, SURVEY.md §1.2): the projection
+    resolves duplicates at import via ``GraphTables.from_dataset(...,
+    dedup=...)``. Same broadcast orders-side join as
+    ``bipartite_edges``; stays a lazy Dataset (the dedup fold is the
+    consumer's keyed exchange)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    o = np.argsort(okeys)
+    lookup_ref = ray.put((okeys[o], ocust[o]))
+
+    def join(batch: pa.Table) -> pa.Table:
+        ok, oc = ray.get(lookup_ref)
+        lo = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ok, lo)
+        return pa.table(
+            {
+                "src": oc[pos] * 2,
+                "dst": ls * 2 + 1,
+                "qty": q.astype(np.float64),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+    return li.map_batches(join, batch_format="pyarrow", batch_size=None)
+
+
 def signed_co_supplier_edges(sf_dir: str) -> pa.Table:
     """co_supplier edges with sign ((u+v) % 4 == 0 → +1, else −1) — the
     deterministic signed fixture for balanced triads (all co_supplier

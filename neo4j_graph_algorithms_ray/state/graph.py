@@ -77,6 +77,82 @@ def _densify_batch(
     return pa.table(cols)
 
 
+_DEDUP_STRATEGIES = ("skip", "sum", "min", "max", "count")
+
+
+def _partial_combine_batch(batch: pa.Table, *, strategy: str) -> pa.Table:
+    """Map-side duplicate-edge combine on (si, di) — lexsort + reduceat,
+    no Python loop. Emits one row per distinct pair in the block with a
+    partially-combined ``w`` (the global groupby finishes the fold)."""
+    si = batch["si"].to_numpy(zero_copy_only=False)
+    if not len(si):
+        # empty block: emit the same schema the non-empty blocks will
+        # (count adds a w column the input may lack)
+        cols = {"si": si, "di": si}
+        if strategy == "count" or "w" in batch.column_names:
+            cols["w"] = np.empty(0, dtype=np.float64)
+        return pa.table(cols)
+    di = batch["di"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((di, si))
+    si, di = si[order], di[order]
+    new = np.empty(len(si), dtype=bool)
+    new[0] = True
+    np.logical_or(si[1:] != si[:-1], di[1:] != di[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    cols = {"si": si[starts], "di": di[starts]}
+    if strategy == "count":
+        counts = np.diff(np.append(starts, len(si)))
+        cols["w"] = counts.astype(np.float64)
+    elif "w" in batch.column_names:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        if strategy == "sum":
+            cols["w"] = np.add.reduceat(w, starts)
+        elif strategy in ("min", "skip"):
+            cols["w"] = np.minimum.reduceat(w, starts)
+        else:  # max
+            cols["w"] = np.maximum.reduceat(w, starts)
+    return pa.table(cols)
+
+
+def _dedup_dense_edges(dense: "rd.Dataset", *, strategy: str) -> "rd.Dataset":
+    """Duplicate-relationship handling at import, the analog of the
+    reference's ``DuplicateRelationshipsStrategy`` (NONE|SKIP|SUM|MIN|MAX,
+    SURVEY.md §1.2). Datasets have no row order, so SKIP ("keep first
+    encountered") is pinned deterministic: keep the MIN weight duplicate.
+    ``count`` replaces the weight with the duplicate multiplicity
+    (co-occurrence semantics). Unweighted graphs reduce every strategy
+    except ``count`` to DISTINCT (si, di).
+
+    Shape at scale: map-side combine shrinks each block to its distinct
+    pairs BEFORE the one keyed exchange (hash repartition on ``si`` —
+    co-locates every duplicate of a pair), then the SAME combine runs
+    once more per block as the final fold (the partial is associative;
+    ``count`` partials finish with ``sum``). No Ray groupby — its
+    HashAggregate has multi-second fixed overhead (see
+    ``sources/corpus.py``); this is the repo's standard
+    repartition+fold exchange."""
+    from .partitioning import shuffle_width
+
+    partial = dense.map_batches(
+        _partial_combine_batch,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"strategy": strategy},
+    )
+    if strategy in ("sum", "count"):
+        final = "sum"  # count partials are multiplicities; fold adds them
+    elif strategy == "max":
+        final = "max"
+    else:  # min / skip (and the unweighted no-w distinct case)
+        final = "min"
+    return partial.repartition(shuffle_width(), keys=["si"]).map_batches(
+        _partial_combine_batch,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"strategy": final},
+    )
+
+
 def _both_directions(batch: pa.Table) -> pa.Table:
     si = batch["si"].to_numpy(zero_copy_only=False)
     di = batch["di"].to_numpy(zero_copy_only=False)
@@ -126,8 +202,14 @@ class GraphTables:
         sort: bool = True,
         extra_vids: Optional[np.ndarray] = None,
         vids: Optional[np.ndarray] = None,
+        dedup: Optional[str] = None,
     ) -> "GraphTables":
         """Project an edge Dataset (original int64 ids) into dense form.
+
+        ``dedup`` selects the duplicate-relationship strategy applied at
+        import (None keeps duplicates; ``skip``/``sum``/``min``/``max``/
+        ``count`` per the reference's ``DuplicateRelationshipsStrategy``
+        — see ``_dedup_dense_edges`` for the deterministic SKIP pin).
 
         Distinct-vertex discovery streams per-block uniques to the
         driver (O(distinct) driver memory — same envelope as the dense
@@ -139,6 +221,10 @@ class GraphTables:
         """
         cols = [src, dst] + ([weight] if weight else [])
         ds = ds.select_columns(cols)
+        if dedup is not None and dedup not in _DEDUP_STRATEGIES:
+            raise ValueError(
+                f"dedup must be one of {_DEDUP_STRATEGIES}, got {dedup!r}"
+            )
         if vids is not None:
             vids = np.unique(np.asarray(vids, dtype=np.int64))
             vids_ref = ray.put(vids)
@@ -154,6 +240,9 @@ class GraphTables:
                     "check": True,
                 },
             )
+            out_weighted = weight is not None or dedup == "count"
+            if dedup is not None:
+                dense = _dedup_dense_edges(dense, strategy=dedup)
             if sort and len(vids):
                 dense = dense.sort("si")
             dense = dense.materialize()
@@ -162,7 +251,7 @@ class GraphTables:
                 n=int(len(vids)),
                 edges=dense,
                 m=int(dense.count()),
-                weighted=weight is not None,
+                weighted=out_weighted,
             )
         uniq_parts = ds.map_batches(
             lambda b: pa.table(
@@ -197,6 +286,9 @@ class GraphTables:
             batch_size=None,
             fn_kwargs={"vids_ref": vids_ref, "src": src, "dst": dst, "weight": weight},
         )
+        out_weighted = weight is not None or dedup == "count"
+        if dedup is not None:
+            dense = _dedup_dense_edges(dense, strategy=dedup)
         if sort and len(vids):
             dense = dense.sort("si")
         dense = dense.materialize()
@@ -205,7 +297,7 @@ class GraphTables:
             n=int(len(vids)),
             edges=dense,
             m=int(dense.count()),
-            weighted=weight is not None,
+            weighted=out_weighted,
         )
 
     @staticmethod
@@ -214,6 +306,7 @@ class GraphTables:
         dst: np.ndarray,
         weight: Optional[np.ndarray] = None,
         extra_vids: Optional[np.ndarray] = None,
+        dedup: Optional[str] = None,
     ) -> "GraphTables":
         """Test/fixture constructor from numpy edge arrays."""
         cols = {"src": np.asarray(src, dtype=np.int64), "dst": np.asarray(dst, dtype=np.int64)}
@@ -221,7 +314,10 @@ class GraphTables:
             cols["weight"] = np.asarray(weight, dtype=np.float64)
         ds = rd.from_arrow(pa.table(cols))
         return GraphTables.from_dataset(
-            ds, weight="weight" if weight is not None else None, extra_vids=extra_vids
+            ds,
+            weight="weight" if weight is not None else None,
+            extra_vids=extra_vids,
+            dedup=dedup,
         )
 
     # ------------------------------------------------------------------

@@ -157,3 +157,66 @@ def test_from_dataset_authoritative_vids(random_graph):
     incomplete = vids[vids != vids[int(src[0])]]
     with pytest.raises(Exception):
         GraphTables.from_dataset(ds, weight="weight", vids=incomplete).edges.count()
+
+
+def _edge_dict(g):
+    """(orig_src, orig_dst) -> w (or None when unweighted)."""
+    t = g.edges.to_pandas()
+    out = {}
+    for _, r in t.iterrows():
+        key = (int(g.vids[int(r["si"])]), int(g.vids[int(r["di"])]))
+        out[key] = float(r["w"]) if "w" in t.columns else None
+    return out
+
+
+def test_duplicate_relationship_strategies_weighted():
+    # reference DuplicateRelationshipsStrategy semantics (SURVEY.md §1.2):
+    # SKIP pinned deterministic to MIN; SUM/MIN/MAX fold; COUNT = multiplicity
+    src = np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+    dst = np.array([1, 1, 1, 2, 2, 0], dtype=np.int64)
+    w = np.array([3.0, 1.0, 2.0, 5.0, 4.0, 7.0])
+    expect = {
+        "sum": {(0, 1): 6.0, (1, 2): 9.0, (2, 0): 7.0},
+        "min": {(0, 1): 1.0, (1, 2): 4.0, (2, 0): 7.0},
+        "skip": {(0, 1): 1.0, (1, 2): 4.0, (2, 0): 7.0},
+        "max": {(0, 1): 3.0, (1, 2): 5.0, (2, 0): 7.0},
+        "count": {(0, 1): 3.0, (1, 2): 2.0, (2, 0): 1.0},
+    }
+    for strat, want in expect.items():
+        g = GraphTables.from_arrays(src, dst, weight=w, dedup=strat)
+        assert g.m == 3 and g.weighted
+        assert _edge_dict(g) == want, strat
+
+
+def test_duplicate_relationship_strategies_unweighted():
+    src = np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+    dst = np.array([1, 1, 1, 2, 2, 0], dtype=np.int64)
+    for strat in ("sum", "min", "max", "skip"):
+        g = GraphTables.from_arrays(src, dst, dedup=strat)
+        assert g.m == 3 and not g.weighted
+        assert set(_edge_dict(g)) == {(0, 1), (1, 2), (2, 0)}
+    g = GraphTables.from_arrays(src, dst, dedup="count")
+    assert g.m == 3 and g.weighted
+    assert _edge_dict(g) == {(0, 1): 3.0, (1, 2): 2.0, (2, 0): 1.0}
+
+
+def test_duplicate_strategy_vids_supplied_path():
+    import pyarrow as pa
+    import ray.data as rd
+
+    vids = np.array([0, 1, 2, 9], dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": np.array([0, 0, 9], dtype=np.int64),
+                "dst": np.array([1, 1, 2], dtype=np.int64),
+                "weight": np.array([2.0, 8.0, 1.0]),
+            }
+        )
+    )
+    g = GraphTables.from_dataset(ds, weight="weight", vids=vids, dedup="max")
+    assert g.n == 4 and g.m == 2
+    assert _edge_dict(g) == {(0, 1): 8.0, (9, 2): 1.0}
+
+    with pytest.raises(ValueError):
+        GraphTables.from_arrays(np.array([0]), np.array([1]), dedup="bogus")
