@@ -190,23 +190,16 @@ def top_ngrams(
 
     from ..state.partitioning import shuffle_width
 
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ngram", as_index=False)["cnt"].sum().astype({"cnt": "int64"})
+
+    # final sum via the house repartition+fold exchange — Ray's
+    # groupby().sum() HashAggregate carries multi-second fixed overhead
     agg = (
         docs.map_batches(partial, batch_format="pandas")
-        # bound the hash-aggregate width: Ray's default is 200
-        # partitions / 64 aggregator actors, pure overhead below
-        # hundreds of blocks
-        .groupby("ngram", num_partitions=shuffle_width())
-        .sum("cnt")
+        .repartition(shuffle_width(), keys=["ngram"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
     )
-    def rn(t):
-        # robust to either block format (Dataset.rename_columns'
-        # Project crashes on pandas-format blocks)
-        if isinstance(t, pd.DataFrame):
-            return t.rename(columns={"sum(cnt)": "cnt"})
-        i = t.schema.get_field_index("sum(cnt)")
-        return t.set_column(i, "cnt", t.column(i))
-
-    agg = agg.map_batches(rn, batch_format=None)
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
 
 
@@ -587,9 +580,16 @@ def tfidf_top_terms(
             }
         )
 
+    def fold_df(d: pd.DataFrame) -> pa.Table:
+        g = d.groupby("word", as_index=False)["df"].sum()
+        return pa.table(
+            {
+                "word": pa.array(g["word"], pa.string()),
+                "df": g["df"].to_numpy(np.int64),
+            }
+        )
+
     def tag_df(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("sum(df)")
-        t = t.set_column(i, "df", t.column(i))
         n = len(t)
         return pa.table(
             {
@@ -607,12 +607,13 @@ def tfidf_top_terms(
         )
 
     tf = docs.map_batches(tf_explode, batch_format="pandas")
+    # DF aggregate via the house repartition+fold exchange — Ray's
+    # groupby().sum() HashAggregate has multi-second fixed overhead
+    # (hundreds of partition tasks for a kB-scale word table)
     df_tab = (
         tf.map_batches(df_partial, batch_format="pandas")
-        .groupby("word", num_partitions=width)
-        .sum("df")
-        # NOT Dataset.rename_columns: its Project op calls the
-        # Arrow-only block method and crashes on pandas-format blocks
+        .repartition(width, keys=["word"])
+        .map_batches(fold_df, batch_format="pandas", batch_size=None)
         .map_batches(tag_df, batch_format="pyarrow")
     )
     combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(df_tab)
@@ -821,9 +822,16 @@ def unigram_logloss(
             }
         )
 
+    def fold_cnt(d: pd.DataFrame) -> pa.Table:
+        g = d.groupby("word", as_index=False)["cnt"].sum()
+        return pa.table(
+            {
+                "word": pa.array(g["word"], pa.string()),
+                "cnt": g["cnt"].to_numpy(np.int64),
+            }
+        )
+
     def tag_cnt(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("sum(cnt)")
-        t = t.set_column(i, "cnt", t.column(i))
         n = len(t)
         return pa.table(
             {
@@ -841,10 +849,12 @@ def unigram_logloss(
         ).append_column("side", pa.array(np.zeros(len(t), np.int8)))
 
     tf = docs.map_batches(tf_explode, batch_format="pandas")
+    # count aggregate via repartition+fold (see tfidf_top_terms on why
+    # not Ray groupby)
     cnt_tab = (
         tf.map_batches(cnt_partial, batch_format="pandas")
-        .groupby("word", num_partitions=width)
-        .sum("cnt")
+        .repartition(width, keys=["word"])
+        .map_batches(fold_cnt, batch_format="pandas", batch_size=None)
         .map_batches(tag_cnt, batch_format="pyarrow")
     )
     combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(cnt_tab)

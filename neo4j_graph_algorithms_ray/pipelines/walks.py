@@ -419,16 +419,19 @@ def skipgram_pairs(
         )
         return out.astype({"cnt": "int64"})
 
-    def rn(t):
-        if isinstance(t, pd.DataFrame):
-            return t.rename(columns={"sum(cnt)": "cnt"})
-        i = t.schema.get_field_index("sum(cnt)")
-        return t.set_column(i, "cnt", t.column(i))
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["center", "context"], sort=False, as_index=False)["cnt"]
+            .sum()
+            .astype({"cnt": "int64"})
+        )
 
+    # final sum via repartition+fold on center (co-locates every
+    # (center, context) pair) — avoids Ray groupby's HashAggregate
+    # fixed overhead
     return (
         walks.repartition(width, keys=["walk_id"])
         .map_batches(pairs, batch_format="pandas", batch_size=None)
-        .groupby(["center", "context"], num_partitions=width)
-        .sum("cnt")
-        .map_batches(rn, batch_format=None)
+        .repartition(width, keys=["center"])
+        .map_batches(fold, batch_format="pandas", batch_size=None)
     )
