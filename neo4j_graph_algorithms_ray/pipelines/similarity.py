@@ -25,8 +25,33 @@ import ray.data as rd
 from ..state.partitioning import shuffle_width, source_size_bytes
 
 
-def _to_matrix(df: pd.DataFrame, vec_col: str) -> np.ndarray:
-    return np.stack(df[vec_col].to_numpy()).astype(np.float64)
+def _to_matrix(batch, vec_col: str) -> np.ndarray:
+    """(n, d) float64 matrix from a list<float> column. Arrow input is
+    the hot path: one zero-copy flatten + reshape per chunk (no
+    per-row object array); pandas falls back to np.stack for the
+    small driver-side frames (query rows)."""
+    if isinstance(batch, pa.Table):
+        col = batch.column(vec_col)
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        mats: list[np.ndarray] = []
+        for ch in chunks:
+            if not len(ch):
+                continue
+            flat = ch.flatten().to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
+            d = int(lens[0])
+            mats.append(flat.reshape(-1, d))
+        if not mats:
+            return np.empty((0, 0))
+        m = mats[0] if len(mats) == 1 else np.vstack(mats)
+        return m.astype(np.float64, copy=False)
+    return np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+
+
+def _ids_i64(batch, col: str) -> np.ndarray:
+    if isinstance(batch, pa.Table):
+        return batch[col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return batch[col].to_numpy(np.int64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -59,9 +84,9 @@ def _stream_matrix(
     ids_chunks: list[np.ndarray] = []
     vec_chunks: list[np.ndarray] = []
     for b in embeddings.select_columns([id_col, vec_col]).iter_batches(
-        batch_format="pandas", batch_size=8192
+        batch_format="pyarrow", batch_size=8192
     ):
-        ids_chunks.append(b[id_col].to_numpy(np.int64))
+        ids_chunks.append(_ids_i64(b, id_col))
         m = _to_matrix(b, vec_col)
         vec_chunks.append(_normalize(m) if normalize else m)
     if not ids_chunks:
@@ -91,10 +116,10 @@ def ann_topk(
     qids = q_rows[id_col].to_numpy(np.int64)
     q_ref = ray.put((qids, qm))
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(df: "pa.Table") -> pd.DataFrame:
         ids, qmat = ray.get(q_ref)
         m = _normalize(_to_matrix(df, vec_col))
-        vids = df[id_col].to_numpy(np.int64)
+        vids = _ids_i64(df, id_col)
         sims = qmat @ m.T  # (q, block)
         out = []
         for qi in range(len(ids)):
@@ -123,7 +148,7 @@ def ann_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = embeddings.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(
         ["query_id", "sim", "vec_id"], ascending=[True, False, True]
     )
@@ -157,10 +182,10 @@ def metric_topk(
     q_ref = ray.put((qids, qm))
     ascending = metric == "euclidean"
 
-    def block_topk(df: pd.DataFrame, _metric=metric) -> pd.DataFrame:
+    def block_topk(df: "pa.Table", _metric=metric) -> pd.DataFrame:
         ids, qmat = ray.get(q_ref)
         m = _to_matrix(df, vec_col)
-        vids = df[id_col].to_numpy(np.int64)
+        vids = _ids_i64(df, id_col)
         if _metric == "pearson":
             m2 = _normalize(m - m.mean(axis=1, keepdims=True))
             scores = qmat @ m2.T
@@ -194,7 +219,7 @@ def metric_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = embeddings.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(
         ["query_id", "score", "vec_id"], ascending=[True, ascending, True]
     )
@@ -227,10 +252,10 @@ def lsh_topk(
     qbuck = (qm @ H > 0) @ (1 << np.arange(planes))
     ref = ray.put((qids, qm, qbuck, H))
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(df: "pa.Table") -> pd.DataFrame:
         ids, qmat, qb, Hm = ray.get(ref)
         m = _normalize(_to_matrix(df, vec_col))
-        vids = df[id_col].to_numpy(np.int64)
+        vids = _ids_i64(df, id_col)
         vb = (m @ Hm > 0) @ (1 << np.arange(Hm.shape[1]))
         out = []
         from ..stages.minhash import popcount64
@@ -257,7 +282,7 @@ def lsh_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = embeddings.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
@@ -301,7 +326,7 @@ def train_kmeans(
     for _ in range(train_iters):
         c_ref = ray.put(cent)
 
-        def part(df: pd.DataFrame) -> pd.DataFrame:
+        def part(df: "pa.Table") -> pd.DataFrame:
             c = ray.get(c_ref)
             m = _to_matrix(df, vec_col)
             a = assign(m, c)
@@ -316,7 +341,7 @@ def train_kmeans(
                 }
             )
 
-        folded = embeddings.map_batches(part, batch_format="pandas").to_pandas()
+        folded = embeddings.map_batches(part, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(cent)
         cnt = np.zeros(len(cent), dtype=np.int64)
         for cl, c_, s_ in zip(folded["cl"], folded["cnt"], folded["s"]):
@@ -347,18 +372,18 @@ def kmeans_clusters(
     )
     c_ref = ray.put(cent)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(df: "pa.Table") -> pd.DataFrame:
         c = ray.get(c_ref)
         return pd.DataFrame(
             {
-                "vec_id": df[id_col].to_numpy(np.int64),
+                "vec_id": _ids_i64(df, id_col),
                 "cluster": _kmeans_assign(_to_matrix(df, vec_col), c).astype(
                     np.int64
                 ),
             }
         )
 
-    return embeddings.map_batches(f, batch_format="pandas")
+    return embeddings.map_batches(f, batch_format="pyarrow")
 
 
 def ivf_topk(
@@ -397,11 +422,11 @@ def ivf_topk(
     probed = np.argsort(qd2, axis=1, kind="stable")[:, :nprobe]
     ref = ray.put((qids, qm, probed, cent))
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(df: "pa.Table") -> pd.DataFrame:
         ids, qmat, prb, c = ray.get(ref)
         m_raw = _to_matrix(df, vec_col)
         m = _normalize(m_raw)
-        vids = df[id_col].to_numpy(np.int64)
+        vids = _ids_i64(df, id_col)
         a = assign(m_raw, c)
         out = []
         for qi in range(len(ids)):
@@ -424,7 +449,7 @@ def ivf_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    cand = embeddings.map_batches(block_topk, batch_format="pandas").to_pandas()
+    cand = embeddings.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
@@ -446,10 +471,10 @@ def cosine_neardup(
     vids, m = _stream_matrix(embeddings, id_col, vec_col)
     ref = ray.put((vids, m))
 
-    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def block_pairs(df: "pa.Table") -> pd.DataFrame:
         avids, am = ray.get(ref)
         bm = _normalize(_to_matrix(df, vec_col))
-        bvids = df[id_col].to_numpy(np.int64)
+        bvids = _ids_i64(df, id_col)
         sims = bm @ am.T
         bi, ai = np.nonzero((sims >= threshold) & (bvids[:, None] < avids[None, :]))
         return pd.DataFrame(
@@ -460,7 +485,7 @@ def cosine_neardup(
             }
         )
 
-    out = embeddings.map_batches(block_pairs, batch_format="pandas").to_pandas()
+    out = embeddings.map_batches(block_pairs, batch_format="pyarrow").to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"doc_a": pd.Series([], dtype="int64"),
