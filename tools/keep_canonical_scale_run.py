@@ -31,12 +31,12 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_WORDS = np.array(
-    "the of and to in is was for on that scan sort merge join filter "
-    "window batch stream shard actor arrow parquet vector graph edge "
-    "rank label component triangle path walk sample weight bucket hash".split(),
-    dtype=object,
-)
+# 65k-token synthetic vocabulary: a tiny vocab (a few dozen words) makes
+# char-shingle sets nearly identical across ALL docs, collapsing minhash
+# signatures globally and producing corpus-sized LSH buckets — a generator
+# artifact, not an engine property. Real corpora have heavy-tailed but
+# LARGE vocabularies; model that.
+_WORDS = np.array([f"w{i:04x}" for i in range(65536)], dtype=object)
 
 GROUP = 3  # planted near-dup group size
 

@@ -27,12 +27,11 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_WORDS = np.array(
-    "the of and to in is was for on that scan sort merge join filter "
-    "window batch stream shard actor arrow parquet vector graph edge "
-    "rank label component triangle path walk sample weight bucket hash".split(),
-    dtype=object,
-)
+# 65k-token synthetic vocabulary: a tiny vocab overlaps heavily across
+# docs in a batch, overstating the batch-unique hashing win; a large
+# vocab keeps per-batch unique-word counts realistic so the old-vs-new
+# ratio is honest.
+_WORDS = np.array([f"w{i:04x}" for i in range(65536)], dtype=object)
 
 
 def gen_block(block_id: int, docs_per_block: int) -> pd.DataFrame:
