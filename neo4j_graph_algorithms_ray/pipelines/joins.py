@@ -187,6 +187,10 @@ def interval_join(
     Dtypes: the inner join leaves no nulls, so EVERY output column is
     cast back to its declared input dtype after the fold (the tagged
     union's transient float64 promotion never reaches the caller).
+    A fully-empty result still carries the typed schema at the Dataset
+    level (``ds.schema()``); note ``Dataset.to_pandas()`` of a 0-row
+    dataset returns a column-less frame (Ray Data yields no batches),
+    which is a Ray API property, not a schema loss in this operator.
     """
     overlap = set(left_cols) & set(right_cols)
     if overlap or {on, by, start, end} & (set(left_cols) | set(right_cols)):

@@ -37,6 +37,13 @@ def _to_matrix(batch, vec_col: str) -> np.ndarray:
         for ch in chunks:
             if not len(ch):
                 continue
+            if isinstance(ch, pa.ExtensionArray):
+                # Ray tensor extension column (ArrowTensorArray /
+                # V2) — produced when an upstream stage emitted an
+                # ndarray column; its to_numpy is already the (n, d)
+                # zero-copy view.
+                mats.append(np.asarray(ch.to_numpy(zero_copy_only=False)))
+                continue
             flat = ch.flatten().to_numpy(zero_copy_only=False)
             lens = pc.list_value_length(ch).to_numpy(zero_copy_only=False)
             d = int(lens[0])

@@ -167,9 +167,10 @@ def funnel(
     user's (filtered) events fit one block.
 
     Timestamp contract: ``ts_col`` is projected to MICROSECOND int64
-    and the stage-walk carries it through float64 (NaN = unreached) —
-    exact because epoch-us values stay < 2^53. Do NOT feed nanosecond
-    int64 timestamps (~1.7e18): the float64 carrier would round them.
+    and the stage-walk keeps it int64 end-to-end with a separate
+    reachability mask (no NaN-in-float carrier), so comparisons and
+    the final subtraction are exact for the full int64 range — safe
+    even if a caller feeds nanosecond-scale values > 2^53.
     """
     idx = {s: i for i, s in enumerate(steps)}
     k = len(steps)
@@ -195,32 +196,31 @@ def funnel(
                 }
             )
         users = np.unique(df["u"].to_numpy(np.int64))
-        # t[i]: per-user first time of step i after t[i-1] (NaN = never)
-        cur = pd.Series(-1.0, index=users)  # step -1 sentinel: t > -inf
-        first_t = None
+        upos = pd.Series(np.arange(len(users), dtype=np.int64), index=users)
+        # t[i]: per-user first time of step i STRICTLY AFTER t[i-1].
+        # Timestamps stay int64 throughout; reachability is a separate
+        # boolean mask (not NaN-in-float), so ns-scale values > 2^53
+        # would still compare and subtract exactly.
+        imax = np.iinfo(np.int64).max
+        cur = np.full(len(users), -1, dtype=np.int64)  # step -1 sentinel
+        cur_ok = np.ones(len(users), dtype=bool)
+        first_t = np.zeros(len(users), dtype=np.int64)
         done = np.zeros(len(users), dtype=np.int64)
         for i in range(k):
             ev = df[df["step"] == i]
-            if not len(ev):
-                cur = pd.Series(np.nan, index=users)
-            else:
-                if i:
-                    prev = cur.reindex(ev["u"].to_numpy(np.int64)).to_numpy()
-                    ok = np.isfinite(prev) & (
-                        ev["ts_us"].to_numpy(np.float64) > prev
-                    )
-                    ev = ev[ok]
-                nxt = ev.groupby("u")["ts_us"].min()
-                cur = nxt.reindex(users).astype(np.float64)
-            reached = np.isfinite(cur.to_numpy())
-            done += reached.astype(np.int64)
+            nxt = np.full(len(users), imax, dtype=np.int64)
+            if len(ev):
+                pos = upos.reindex(ev["u"].to_numpy(np.int64)).to_numpy(np.int64)
+                ts = ev["ts_us"].to_numpy(np.int64)
+                ok = cur_ok[pos] & (ts > cur[pos])
+                np.minimum.at(nxt, pos[ok], ts[ok])
+            cur_ok = nxt != imax
+            cur = np.where(cur_ok, nxt, -1)
+            done += cur_ok.astype(np.int64)
             if i == 0:
-                first_t = cur.to_numpy().copy()
-        last_t = cur.to_numpy()
+                first_t = cur.copy()
         converted = (done == k).astype(np.int64)
-        ttc = np.where(
-            converted == 1, (last_t - first_t), -1.0
-        ).astype(np.int64)
+        ttc = np.where(converted == 1, cur - first_t, -1).astype(np.int64)
         return pd.DataFrame(
             {
                 "user_id": users,

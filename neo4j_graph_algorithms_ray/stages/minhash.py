@@ -134,10 +134,17 @@ def simhash64(texts: pd.Series) -> np.ndarray:
         return out
     flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
-    # distinct (doc, word) pairs — the set() in the scalar definition
-    pairs = pd.DataFrame({"d": doc_idx, "w": flat}).drop_duplicates()
-    d = pairs["d"].to_numpy(np.int64)
-    inv, uniq_words = pd.factorize(pairs["w"], sort=False)
+    # distinct (doc, word) pairs — the set() in the scalar definition.
+    # One object-dtype pass (factorize) then an integer unique on the
+    # packed (doc, code) key: ~10x cheaper than an object-row
+    # drop_duplicates over every token occurrence.
+    codes, uniq_words = pd.factorize(flat, sort=False)
+    packed_key = (doc_idx.astype(np.uint64) << np.uint64(32)) | codes.astype(
+        np.uint64
+    )
+    up = np.unique(packed_key)
+    d = (up >> np.uint64(32)).astype(np.int64)
+    inv = (up & np.uint64(0xFFFFFFFF)).astype(np.int64)
     h_pair = _sha8_be(np.asarray(uniq_words, dtype=object))[inv]
     # sign-vote fold per (doc, bit) WITHOUT a (pairs × 64) matrix:
     # acc_j(d) = 2·|{words with bit j}| − |words| > 0 ⇔ bit j set.

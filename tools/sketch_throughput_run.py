@@ -88,29 +88,53 @@ def main() -> None:
     n_blocks = docs_k * 1000 // dpb
     n_docs = n_blocks * dpb
 
-    # ---- single-process stage throughput, old vs new (20k-doc slice)
+    # ---- single-process stage throughput, old vs new, in TWO regimes:
+    # "high_entropy" (65k random-word vocab — windows/words barely
+    # repeat, so both paths are sha256-bound and the fair claim is
+    # non-regression via the vectorized hash kernel) and "boilerplate"
+    # (template-heavy text — windows repeat massively, the batch-level
+    # dedup collapses the sha volume and the speedup is large). Best of
+    # 3 per cell: this VM's throttling flaps 5-7x between identical
+    # runs, and best-of is the least-noisy point estimate.
+    def bench_regime(texts: pd.Series) -> dict:
+        def best3(fn, *a):
+            times, out = [], None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = fn(*a)
+                times.append(time.perf_counter() - t0)
+            return min(times), out
+
+        sh_new_t, new_sh = best3(simhash64, texts)
+        sh_old_t, old_sh = best3(old_simhash, texts)
+        assert (new_sh == old_sh).all(), "simhash64 parity violated"
+        fp_new_t, new_fp = best3(fingerprint64, texts)
+        fp_old_t, old_fp_v = best3(old_fingerprint, texts)
+        assert (new_fp == old_fp_v).all(), "fingerprint64 parity violated"
+        return {
+            "sample_docs": len(texts),
+            "simhash_new_sec": round(sh_new_t, 3),
+            "simhash_old_sec": round(sh_old_t, 3),
+            "simhash_speedup": round(sh_old_t / max(sh_new_t, 1e-9), 1),
+            "fingerprint_new_sec": round(fp_new_t, 3),
+            "fingerprint_old_sec": round(fp_old_t, 3),
+            "fingerprint_speedup": round(fp_old_t / max(fp_new_t, 1e-9), 1),
+        }
+
     sample = pd.concat([gen_block(i, dpb) for i in range(4)], ignore_index=True)
-    texts = sample["text"]
-    t0 = time.perf_counter()
-    new_sh = simhash64(texts)
-    t1 = time.perf_counter()
-    old_sh = old_simhash(texts)
-    t2 = time.perf_counter()
-    assert (new_sh == old_sh).all(), "simhash64 parity violated"
-    t3 = time.perf_counter()
-    new_fp = fingerprint64(texts)
-    t4 = time.perf_counter()
-    old_fp_v = old_fingerprint(texts)
-    t5 = time.perf_counter()
-    assert (new_fp == old_fp_v).all(), "fingerprint64 parity violated"
+    rng = np.random.default_rng(99)
+    tmpl = [
+        " ".join(rng.choice(_WORDS[:2000], size=12)) for _ in range(400)
+    ]  # 400 reusable boilerplate lines
+    boiler = pd.Series(
+        [
+            " ".join(rng.choice(np.array(tmpl, dtype=object), size=8))
+            for _ in range(len(sample))
+        ]
+    )
     stage = {
-        "sample_docs": len(texts),
-        "simhash_new_sec": round(t1 - t0, 3),
-        "simhash_old_sec": round(t2 - t1, 3),
-        "simhash_speedup": round((t2 - t1) / max(t1 - t0, 1e-9), 1),
-        "fingerprint_new_sec": round(t4 - t3, 3),
-        "fingerprint_old_sec": round(t5 - t4, 3),
-        "fingerprint_speedup": round((t5 - t4) / max(t4 - t3, 1e-9), 1),
+        "high_entropy": bench_regime(sample["text"]),
+        "boilerplate": bench_regime(boiler),
     }
 
     # ---- end-to-end Ray pipelines on the full corpus
