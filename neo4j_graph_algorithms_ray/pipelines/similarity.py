@@ -590,7 +590,7 @@ def lsh_cosine_neardup(
     threshold: float = 0.95,
     *,
     tables: int = 16,
-    planes: int = 6,
+    planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -602,9 +602,15 @@ def lsh_cosine_neardup(
     (exact cosine verify), so no O(n²) sweep and no full-matrix
     broadcast. A pair colliding in ≥1 table survives; recall vs the
     exact kernel is 1-(1-p^planes)^tables with p = 1 - θ/π (measured in
-    tests/test_round2.py). Buckets larger than ``max_bucket`` are
-    skipped (degenerate-hash blowup guard — mirrors the corpus
-    heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
+    tests/test_round2.py). ``planes=None`` (the default) auto-sizes to
+    ``max(6, ceil(log2(n/3)))`` from one ``count()`` so the expected
+    bucket size stays ~3 at ANY corpus size — a fixed plane count is a
+    scale footgun: the bucket scan is all-pairs within buckets, so 6
+    planes (64 buckets/table) at 10^6 vectors means ~10^4-row buckets
+    and an O(n²/64) candidate explosion. Pass ``planes`` explicitly on
+    derived datasets where the extra ``count()`` execution matters.
+    Buckets larger than ``max_bucket`` are skipped (degenerate-hash
+    blowup guard — mirrors the corpus heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
     exact-verified, deduped across tables.
 
     Shuffle payload: the bucket exchange carries ONLY 16 B/row
@@ -625,6 +631,9 @@ def lsh_cosine_neardup(
             )
         )
     dim = len(first[0][vec_col])
+    if planes is None:
+        n_total = embeddings.count()
+        planes = min(30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3)))))
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((tables, dim, planes))
     h_ref = ray.put(H)
@@ -791,7 +800,7 @@ def lsh_metric_pairs(
     *,
     metric: str = "euclidean",  # euclidean | pearson | cosine
     tables: int = 12,
-    planes: int = 8,
+    planes: int | None = None,
     bucket_width: Optional[float] = None,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -833,6 +842,19 @@ def lsh_metric_pairs(
     if not first:
         return rd.from_pandas(empty)
     dim = len(first[0][vec_col])
+    if planes is None:
+        if metric == "euclidean":
+            # p-stable buckets aren't 2^planes-bounded (the mixed hash
+            # space is open; bucket population is set by bucket_width),
+            # so a fixed plane count doesn't blow up with n.
+            planes = 8
+        else:
+            # sign buckets: 2^planes buckets/table — size to the corpus
+            # (expected bucket ~3) like lsh_cosine_neardup, same footgun.
+            n_total = embeddings.count()
+            planes = min(
+                30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3))))
+            )
     rng = np.random.default_rng(seed)
     scale = 10.0**round_decimals
     width = shuffle_width(source_size_bytes(embeddings))

@@ -88,7 +88,12 @@ def main() -> None:
         .materialize()
     )
 
-    tables, planes = 16, 8
+    # planes must scale with log2(n): with b buckets/table the bucket
+    # scan is all-pairs within buckets, so 2^planes ≈ n/3 keeps the
+    # expected bucket size ~3 and the candidate volume O(n·tables).
+    # (planes=8 at n=150k → 256 buckets of ~590 → ~700M candidates.)
+    tables = 16
+    planes = max(10, int(np.ceil(np.log2(max(n, 16) / 3))))
     t0 = time.perf_counter()
     pairs = lsh_cosine_neardup(
         emb, threshold=0.98, tables=tables, planes=planes
