@@ -630,7 +630,13 @@ def lsh_cosine_neardup(
     exact verify in two further keyed exchanges (attach vec_b on the
     doc_b key, then vec_a + score on the doc_a key), each moving one
     float32 vector per candidate plus one streaming pass of the corpus
-    vectors."""
+    vectors.
+
+    Every stage is zero-copy Arrow (``batch_format="pyarrow"``): the
+    vector payload rides a ``fixed_size_list<float32>[d]`` column
+    (null on candidate rows — the union side that carries no vector),
+    id joins are numpy ``argsort``+``searchsorted`` gathers, and no
+    stage builds per-row Python objects."""
     first = embeddings.take(1)
     if not first:
         return rd.from_pandas(
@@ -650,15 +656,15 @@ def lsh_cosine_neardup(
     weights = (1 << np.arange(planes)).astype(np.int64)
     width = shuffle_width(source_size_bytes(embeddings))
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
+    def sketch(t: pa.Table) -> pa.Table:
         Hm = ray.get(h_ref)
-        m = _normalize(_to_matrix(df, vec_col))
-        vids = df[id_col].to_numpy(np.int64)
+        m = _normalize(_to_matrix(t, vec_col))
+        vids = _ids_i64(t, id_col)
         n, T = len(vids), Hm.shape[0]
         bits = np.empty((T, n), dtype=np.int64)
-        for t in range(T):
-            bits[t] = (m @ Hm[t] > 0) @ weights
-        return pd.DataFrame(
+        for tt in range(T):
+            bits[tt] = (m @ Hm[tt] > 0) @ weights
+        return pa.table(
             {
                 "bucket": (
                     (np.repeat(np.arange(T, dtype=np.int64), n) << np.int64(32))
@@ -668,17 +674,17 @@ def lsh_cosine_neardup(
             }
         )
 
-    def bucket_candidates(df: pd.DataFrame, _cap=max_bucket) -> pd.DataFrame:
+    def bucket_candidates(t: pa.Table, _cap=max_bucket) -> pa.Table:
         # run-length bucket scan (same shape as dedup.bucket_pairs):
         # candidate (lo, hi) id pairs only — no vectors here
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64")}
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64())}
         )
-        if not len(df):
+        if not t.num_rows:
             return empty
-        bh = df["bucket"].to_numpy(np.int64)
-        ids = df["vec_id"].to_numpy(np.int64)
+        bh = _ids_i64(t, "bucket")
+        ids = _ids_i64(t, "vec_id")
         order = np.lexsort((ids, bh))
         bh, ids = bh[order], ids[order]
         new = np.empty(len(bh), dtype=bool)
@@ -700,105 +706,151 @@ def lsh_cosine_neardup(
         J = np.concatenate(J_parts)
         a, b = ids[I], ids[J]
         keep = a != b
-        return pd.DataFrame(
+        return pa.table(
             {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
         )
 
-    def vec_rows(df: pd.DataFrame) -> pd.DataFrame:
+    vtype = pa.list_(pa.float32(), dim)
+
+    def _f32_lists(m: np.ndarray) -> pa.Array:
+        # (n, d) -> fixed_size_list<float32>[d]: ONE ravel+cast, no
+        # per-row Python objects
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(m, dtype=np.float32).ravel()), dim
+        )
+
+    def vec_rows(t: pa.Table) -> pa.Table:
         # normalized float32 payload (same float32 round-trip as the
         # prior wire format so verified sims are bit-identical)
-        m = _normalize(_to_matrix(df, vec_col))
-        return pd.DataFrame(
+        m = _normalize(_to_matrix(t, vec_col))
+        n = len(m)
+        return pa.table(
             {
-                "key": df[id_col].to_numpy(np.int64),
-                "doc_a": np.full(len(df), -1, np.int64),
-                "vec": [v.astype(np.float32).tobytes() for v in m],
+                "key": _ids_i64(t, id_col),
+                "doc_a": np.full(n, -1, np.int64),
+                "vec": _f32_lists(m),
             }
         )
 
-    def cand_rows_b(df: pd.DataFrame) -> pd.DataFrame:
+    def cand_rows_b(t: pa.Table) -> pa.Table:
         # home candidates on doc_b; dedup across tables happens here
-        # (every copy of a pair lands in this one keyed block)
-        d = df.drop_duplicates(["doc_a", "doc_b"])
-        return pd.DataFrame(
-            {
-                "key": d["doc_b"].to_numpy(np.int64),
-                "doc_a": d["doc_a"].to_numpy(np.int64),
-                "vec": np.full(len(d), b"", dtype=object),
-            }
+        # (every copy of a pair lands in this one keyed block); the
+        # vec column is NULL on candidate rows — the union side that
+        # carries no payload
+        a = _ids_i64(t, "doc_a")
+        b = _ids_i64(t, "doc_b")
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.empty(len(a), dtype=bool)
+        if len(a):
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[first], b[first]
+        return pa.table(
+            {"key": b, "doc_a": a, "vec": pa.nulls(len(a), vtype)}
         )
 
-    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {"key": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype=object)}
+    def _split(
+        t: pa.Table, side_col: str, payload: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Split a unioned block into candidate rows (side >= 0) and
+        vector rows (side == -1). Returns (ckeys, cside, vkeys_sorted,
+        vm_sorted) — the vector side sorted by key, ready for a
+        searchsorted gather (the numpy hash-join)."""
+        side = _ids_i64(t, side_col)
+        keys = _ids_i64(t, "key")
+        is_vec = side < 0
+        vt = t.filter(pa.array(is_vec))
+        vkeys = keys[is_vec]
+        vm = _to_matrix(vt, payload)
+        order = np.argsort(vkeys, kind="stable")
+        return keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
+
+    def _gather(
+        vkeys: np.ndarray, vm: np.ndarray, ckeys: np.ndarray
+    ) -> np.ndarray:
+        if not len(ckeys):
+            return vm[:0]
+        pos = np.searchsorted(vkeys, ckeys)
+        # keys are partition-complete by construction (every key hashed
+        # here); guard anyway so a malformed input fails loudly
+        if pos.max(initial=-1) >= len(vkeys) or not np.array_equal(
+            vkeys[pos], ckeys
+        ):
+            raise ValueError("candidate key missing its vector row")
+        return vm[pos]
+
+    def attach_b(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "vec_b": pa.nulls(0, vtype)}
         )
-        cand = df[df["doc_a"] >= 0]
-        if not len(cand):
-            return out_empty
-        cand = cand.drop_duplicates(["doc_a", "key"])  # cross-block dups
-        vecs = df[df["doc_a"] < 0][["key", "vec"]]
-        m = cand[["key", "doc_a"]].merge(vecs, on="key", how="inner")
+        if not t.num_rows:
+            return empty
+        ckeys, cdoc_a, vkeys, vm = _split(t, "doc_a", "vec")
+        if not len(ckeys):
+            return empty
+        # cross-BLOCK duplicate pairs: the same (a, b) can surface from
+        # several bucket partitions; they all hash to this one doc_b
+        # block, so collapse them here before the gather
+        order = np.lexsort((ckeys, cdoc_a))
+        ckeys, cdoc_a = ckeys[order], cdoc_a[order]
+        first = np.empty(len(ckeys), dtype=bool)
+        first[0] = True
+        first[1:] = (cdoc_a[1:] != cdoc_a[:-1]) | (ckeys[1:] != ckeys[:-1])
+        ckeys, cdoc_a = ckeys[first], cdoc_a[first]
+        gathered = _gather(vkeys, vm, ckeys)
         # re-key on doc_a for the second attach; carry doc_b + its vec
-        return pd.DataFrame(
+        return pa.table(
+            {"key": cdoc_a, "doc_b": ckeys, "vec_b": _f32_lists(gathered)}
+        )
+
+    def vec_rows2(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t, vec_col))
+        return pa.table(
             {
-                "key": m["doc_a"].to_numpy(np.int64),
-                "doc_b": m["key"].to_numpy(np.int64),
-                "vec_b": m["vec"].to_numpy(object),
+                "key": _ids_i64(t, id_col),
+                "doc_b": np.full(len(m), -1, np.int64),
+                "vec_b": _f32_lists(m),
             }
         )
 
-    def vec_rows2(df: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_to_matrix(df, vec_col))
-        return pd.DataFrame(
-            {
-                "key": df[id_col].to_numpy(np.int64),
-                "doc_b": np.full(len(df), -1, np.int64),
-                "vec_b": [v.astype(np.float32).tobytes() for v in m],
-            }
+    def score(t: pa.Table, _thr=threshold) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
         )
-
-    def score(df: pd.DataFrame, _thr=threshold) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "sim": pd.Series([], dtype="float64")}
-        )
-        cand = df[df["doc_b"] >= 0]
-        if not len(cand):
-            return out_empty
-        vecs = df[df["doc_b"] < 0][["key", "vec_b"]].rename(columns={"vec_b": "vec_a"})
-        m = cand.merge(vecs, on="key", how="inner")
-        if not len(m):
-            return out_empty
-        va = np.frombuffer(b"".join(m["vec_a"]), dtype=np.float32).reshape(len(m), -1)
-        vb = np.frombuffer(b"".join(m["vec_b"]), dtype=np.float32).reshape(len(m), -1)
-        sim = _rowwise_dot(va.astype(np.float64), vb.astype(np.float64))
+        if not t.num_rows:
+            return empty
+        ckeys, cdoc_b, vkeys, vm = _split(t, "doc_b", "vec_b")
+        if not len(ckeys):
+            return empty
+        va = _gather(vkeys, vm, ckeys)
+        cand_t = t.filter(pc.greater_equal(t["doc_b"], 0))
+        vb = _to_matrix(cand_t, "vec_b")
+        sim = _rowwise_dot(va, vb)
         keep = sim >= _thr
-        return pd.DataFrame(
-            {
-                "doc_a": m["key"].to_numpy(np.int64)[keep],
-                "doc_b": m["doc_b"].to_numpy(np.int64)[keep],
-                "sim": sim[keep],
-            }
+        return pa.table(
+            {"doc_a": ckeys[keep], "doc_b": cdoc_b[keep], "sim": sim[keep]}
         )
 
     candidates = (
-        embeddings.map_batches(sketch, batch_format="pandas")
+        embeddings.map_batches(sketch, batch_format="pyarrow")
         .repartition(width, keys=["bucket"])
-        .map_batches(bucket_candidates, batch_format="pandas", batch_size=None)
+        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
     )
     with_b = (
-        candidates.map_batches(cand_rows_b, batch_format="pandas")
-        .union(embeddings.map_batches(vec_rows, batch_format="pandas"))
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
+        .union(embeddings.map_batches(vec_rows, batch_format="pyarrow"))
         .repartition(width, keys=["key"])
-        .map_batches(attach_b, batch_format="pandas", batch_size=None)
+        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
     )
     return (
-        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pandas"))
+        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pyarrow"))
         .repartition(width, keys=["key"])
-        .map_batches(score, batch_format="pandas", batch_size=None)
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
     )
 
 
