@@ -61,6 +61,58 @@ def _ids_i64(batch, col: str) -> np.ndarray:
     return batch[col].to_numpy(np.int64)
 
 
+def _float_lists(m: np.ndarray, dtype: type, dim: int) -> pa.Array:
+    """(n, d) -> fixed_size_list<dtype>[d]: ONE ravel+cast, no per-row
+    Python objects (the Arrow wire format of the LSH join-back
+    payload)."""
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(np.ascontiguousarray(m, dtype=dtype).ravel()), dim
+    )
+
+
+def _split_union_block(
+    t: pa.Table, side_col: str, payload: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split a unioned keyed block into candidate rows (side >= 0) and
+    vector rows (side == -1). Returns (ckeys, cside, vkeys_sorted,
+    vm_sorted) — the vector side sorted by key, ready for a
+    searchsorted gather (the numpy hash-join)."""
+    side = _ids_i64(t, side_col)
+    keys = _ids_i64(t, "key")
+    is_vec = side < 0
+    vt = t.filter(pa.array(is_vec))
+    vkeys = keys[is_vec]
+    vm = _to_matrix(vt, payload)
+    order = np.argsort(vkeys, kind="stable")
+    return keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
+
+
+def _gather_by_key(
+    vkeys: np.ndarray, vm: np.ndarray, ckeys: np.ndarray
+) -> np.ndarray:
+    if not len(ckeys):
+        return vm[:0]
+    pos = np.searchsorted(vkeys, ckeys)
+    # keys are partition-complete by construction (every key hashed
+    # here); guard anyway so a malformed input fails loudly
+    if pos.max(initial=-1) >= len(vkeys) or not np.array_equal(
+        vkeys[pos], ckeys
+    ):
+        raise ValueError("candidate key missing its vector row")
+    return vm[pos]
+
+
+def _pair_dedup(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Collapse duplicate (a, b) rows (vectorized lexsort + run mask)."""
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.empty(len(a), dtype=bool)
+    if len(a):
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[first], b[first]
+
+
 def _rowwise_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise dot product. NOT ``np.einsum("ij,ij->i", ...)``: the
     default (non-``optimize``) einsum runs a naive sequential C loop
@@ -713,11 +765,7 @@ def lsh_cosine_neardup(
     vtype = pa.list_(pa.float32(), dim)
 
     def _f32_lists(m: np.ndarray) -> pa.Array:
-        # (n, d) -> fixed_size_list<float32>[d]: ONE ravel+cast, no
-        # per-row Python objects
-        return pa.FixedSizeListArray.from_arrays(
-            pa.array(np.ascontiguousarray(m, dtype=np.float32).ravel()), dim
-        )
+        return _float_lists(m, np.float32, dim)
 
     def vec_rows(t: pa.Table) -> pa.Table:
         # normalized float32 payload (same float32 round-trip as the
@@ -739,46 +787,10 @@ def lsh_cosine_neardup(
         # carries no payload
         a = _ids_i64(t, "doc_a")
         b = _ids_i64(t, "doc_b")
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.empty(len(a), dtype=bool)
-        if len(a):
-            first[0] = True
-            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b = a[first], b[first]
+        a, b = _pair_dedup(a, b)
         return pa.table(
             {"key": b, "doc_a": a, "vec": pa.nulls(len(a), vtype)}
         )
-
-    def _split(
-        t: pa.Table, side_col: str, payload: str
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Split a unioned block into candidate rows (side >= 0) and
-        vector rows (side == -1). Returns (ckeys, cside, vkeys_sorted,
-        vm_sorted) — the vector side sorted by key, ready for a
-        searchsorted gather (the numpy hash-join)."""
-        side = _ids_i64(t, side_col)
-        keys = _ids_i64(t, "key")
-        is_vec = side < 0
-        vt = t.filter(pa.array(is_vec))
-        vkeys = keys[is_vec]
-        vm = _to_matrix(vt, payload)
-        order = np.argsort(vkeys, kind="stable")
-        return keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
-
-    def _gather(
-        vkeys: np.ndarray, vm: np.ndarray, ckeys: np.ndarray
-    ) -> np.ndarray:
-        if not len(ckeys):
-            return vm[:0]
-        pos = np.searchsorted(vkeys, ckeys)
-        # keys are partition-complete by construction (every key hashed
-        # here); guard anyway so a malformed input fails loudly
-        if pos.max(initial=-1) >= len(vkeys) or not np.array_equal(
-            vkeys[pos], ckeys
-        ):
-            raise ValueError("candidate key missing its vector row")
-        return vm[pos]
 
     def attach_b(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -788,19 +800,14 @@ def lsh_cosine_neardup(
         )
         if not t.num_rows:
             return empty
-        ckeys, cdoc_a, vkeys, vm = _split(t, "doc_a", "vec")
+        ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
         if not len(ckeys):
             return empty
         # cross-BLOCK duplicate pairs: the same (a, b) can surface from
         # several bucket partitions; they all hash to this one doc_b
         # block, so collapse them here before the gather
-        order = np.lexsort((ckeys, cdoc_a))
-        ckeys, cdoc_a = ckeys[order], cdoc_a[order]
-        first = np.empty(len(ckeys), dtype=bool)
-        first[0] = True
-        first[1:] = (cdoc_a[1:] != cdoc_a[:-1]) | (ckeys[1:] != ckeys[:-1])
-        ckeys, cdoc_a = ckeys[first], cdoc_a[first]
-        gathered = _gather(vkeys, vm, ckeys)
+        cdoc_a, ckeys = _pair_dedup(cdoc_a, ckeys)
+        gathered = _gather_by_key(vkeys, vm, ckeys)
         # re-key on doc_a for the second attach; carry doc_b + its vec
         return pa.table(
             {"key": cdoc_a, "doc_b": ckeys, "vec_b": _f32_lists(gathered)}
@@ -824,10 +831,10 @@ def lsh_cosine_neardup(
         )
         if not t.num_rows:
             return empty
-        ckeys, cdoc_b, vkeys, vm = _split(t, "doc_b", "vec_b")
+        ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
         if not len(ckeys):
             return empty
-        va = _gather(vkeys, vm, ckeys)
+        va = _gather_by_key(vkeys, vm, ckeys)
         cand_t = t.filter(pc.greater_equal(t["doc_b"], 0))
         vb = _to_matrix(cand_t, "vec_b")
         sim = _rowwise_dot(va, vb)
@@ -959,23 +966,25 @@ def lsh_metric_pairs(
                 out[t] = ((np.int64(t) << np.int64(32)) | ((m @ Hm[t] > 0) @ wts))
             return out
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        m = prep(_to_matrix(df, vec_col))
-        vids = df[id_col].to_numpy(np.int64)
+    vtype = pa.list_(pa.float64(), dim)  # float64: exact-kernel prep
+
+    def sketch(t: pa.Table) -> pa.Table:
+        m = prep(_to_matrix(t, vec_col))
+        vids = _ids_i64(t, id_col)
         bk = buckets(m)  # (T, n)
-        return pd.DataFrame(
+        return pa.table(
             {"bucket": bk.reshape(-1), "vec_id": np.tile(vids, bk.shape[0])}
         )
 
-    def bucket_candidates(df: pd.DataFrame, _cap=max_bucket) -> pd.DataFrame:
-        cand_empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64")}
+    def bucket_candidates(t: pa.Table, _cap=max_bucket) -> pa.Table:
+        cand_empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64())}
         )
-        if not len(df):
+        if not t.num_rows:
             return cand_empty
-        bh = df["bucket"].to_numpy(np.int64)
-        ids = df["vec_id"].to_numpy(np.int64)
+        bh = _ids_i64(t, "bucket")
+        ids = _ids_i64(t, "vec_id")
         order = np.lexsort((ids, bh))
         bh, ids = bh[order], ids[order]
         new = np.empty(len(bh), dtype=bool)
@@ -997,73 +1006,65 @@ def lsh_metric_pairs(
         J = np.concatenate(J_parts)
         a, b = ids[I], ids[J]
         keep = a != b
-        return pd.DataFrame(
+        return pa.table(
             {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
         )
 
-    def vec_rows(key_of_vec: str, marker_col: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            m = prep(_to_matrix(df, vec_col))
-            return pd.DataFrame(
+    def vec_rows(marker_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = prep(_to_matrix(t, vec_col))
+            return pa.table(
                 {
-                    "key": df[id_col].to_numpy(np.int64),
-                    marker_col: np.full(len(df), -1, np.int64),
-                    "vec": [v.tobytes() for v in m],  # float64 payload
+                    "key": _ids_i64(t, id_col),
+                    marker_col: np.full(len(m), -1, np.int64),
+                    "vec" if marker_col == "doc_a" else "vec_b": (
+                        _float_lists(m, np.float64, dim)
+                    ),
                 }
             )
 
         return f
 
-    def cand_rows_b(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["doc_a", "doc_b"])
-        return pd.DataFrame(
-            {
-                "key": d["doc_b"].to_numpy(np.int64),
-                "doc_a": d["doc_a"].to_numpy(np.int64),
-                "vec": np.full(len(d), b"", dtype=object),
-            }
+    def cand_rows_b(t: pa.Table) -> pa.Table:
+        a, b = _pair_dedup(_ids_i64(t, "doc_a"), _ids_i64(t, "doc_b"))
+        return pa.table(
+            {"key": b, "doc_a": a, "vec": pa.nulls(len(a), vtype)}
         )
 
-    def attach_b(df: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {"key": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "vec_b": pd.Series([], dtype=object)}
+    def attach_b(t: pa.Table) -> pa.Table:
+        out_empty = pa.table(
+            {"key": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "vec_b": pa.nulls(0, vtype)}
         )
-        cand = df[df["doc_a"] >= 0]
-        if not len(cand):
+        if not t.num_rows:
             return out_empty
-        cand = cand.drop_duplicates(["doc_a", "key"])
-        vecs = df[df["doc_a"] < 0][["key", "vec"]]
-        m = cand[["key", "doc_a"]].merge(vecs, on="key", how="inner")
-        return pd.DataFrame(
+        ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
+        if not len(ckeys):
+            return out_empty
+        cdoc_a, ckeys = _pair_dedup(cdoc_a, ckeys)  # cross-block dups
+        gathered = _gather_by_key(vkeys, vm, ckeys)
+        return pa.table(
             {
-                "key": m["doc_a"].to_numpy(np.int64),
-                "doc_b": m["key"].to_numpy(np.int64),
-                "vec_b": m["vec"].to_numpy(object),
+                "key": cdoc_a,
+                "doc_b": ckeys,
+                "vec_b": _float_lists(gathered, np.float64, dim),
             }
         )
 
-    def vec_rows2(df: pd.DataFrame) -> pd.DataFrame:
-        m = prep(_to_matrix(df, vec_col))
-        return pd.DataFrame(
-            {
-                "key": df[id_col].to_numpy(np.int64),
-                "doc_b": np.full(len(df), -1, np.int64),
-                "vec_b": [v.tobytes() for v in m],
-            }
+    def score(t: pa.Table, _cut=cutoff) -> pa.Table:
+        out_empty = pa.table(
+            {"vec_id_a": pa.array([], pa.int64()),
+             "vec_id_b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
         )
-
-    def score(df: pd.DataFrame, _cut=cutoff) -> pd.DataFrame:
-        cand = df[df["doc_b"] >= 0]
-        if not len(cand):
-            return empty
-        vecs = df[df["doc_b"] < 0][["key", "vec_b"]].rename(columns={"vec_b": "vec_a"})
-        m = cand.merge(vecs, on="key", how="inner")
-        if not len(m):
-            return empty
-        va = np.frombuffer(b"".join(m["vec_a"]), dtype=np.float64).reshape(len(m), -1)
-        vb = np.frombuffer(b"".join(m["vec_b"]), dtype=np.float64).reshape(len(m), -1)
+        if not t.num_rows:
+            return out_empty
+        ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
+        if not len(ckeys):
+            return out_empty
+        va = _gather_by_key(vkeys, vm, ckeys)
+        vb = _to_matrix(t.filter(pc.greater_equal(t["doc_b"], 0)), "vec_b")
         if metric == "euclidean":
             s = np.sqrt(
                 np.maximum(
@@ -1076,27 +1077,23 @@ def lsh_metric_pairs(
             s = _rowwise_dot(va, vb)
         s = np.floor(s * scale + 0.5) / scale
         keep = s <= _cut if metric == "euclidean" else s >= _cut
-        return pd.DataFrame(
-            {
-                "vec_id_a": m["key"].to_numpy(np.int64)[keep],
-                "vec_id_b": m["doc_b"].to_numpy(np.int64)[keep],
-                "score": s[keep],
-            }
+        return pa.table(
+            {"vec_id_a": ckeys[keep], "vec_id_b": cdoc_b[keep], "score": s[keep]}
         )
 
     candidates = (
-        embeddings.map_batches(sketch, batch_format="pandas")
+        embeddings.map_batches(sketch, batch_format="pyarrow")
         .repartition(width, keys=["bucket"])
-        .map_batches(bucket_candidates, batch_format="pandas", batch_size=None)
+        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
     )
     with_b = (
-        candidates.map_batches(cand_rows_b, batch_format="pandas")
-        .union(embeddings.map_batches(vec_rows("doc_b", "doc_a"), batch_format="pandas"))
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
+        .union(embeddings.map_batches(vec_rows("doc_a"), batch_format="pyarrow"))
         .repartition(width, keys=["key"])
-        .map_batches(attach_b, batch_format="pandas", batch_size=None)
+        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
     )
     return (
-        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pandas"))
+        with_b.union(embeddings.map_batches(vec_rows("doc_b"), batch_format="pyarrow"))
         .repartition(width, keys=["key"])
-        .map_batches(score, batch_format="pandas", batch_size=None)
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
     )
