@@ -440,3 +440,56 @@ def test_kmeans_clusters_separates_planted_blobs():
     ca = set(out[out.vec_id < 30]["cluster"])
     cb = set(out[out.vec_id >= 30]["cluster"])
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_lsh_exchange_helpers_unit():
+    """Pure-numpy/Arrow units of the shared LSH join-back wire format:
+    pair dedup, fixed-size-list payload round-trip, and the
+    searchsorted gather (including its loud missing-key guard)."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import (
+        _float_lists,
+        _gather_by_key,
+        _pair_dedup,
+        _split_union_block,
+        _to_matrix,
+    )
+
+    a, b = _pair_dedup(
+        np.array([3, 1, 3, 1, 2], dtype=np.int64),
+        np.array([7, 5, 7, 5, 9], dtype=np.int64),
+    )
+    assert a.tolist() == [1, 2, 3] and b.tolist() == [5, 9, 7]
+    a0, b0 = _pair_dedup(
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    )
+    assert len(a0) == 0 and len(b0) == 0
+
+    m = np.arange(12, dtype=np.float64).reshape(4, 3)
+    lists = _float_lists(m, np.float32, 3)
+    t = pa.table(
+        {
+            "key": np.array([10, 11, 12, 13], dtype=np.int64),
+            "side": np.full(4, -1, np.int64),
+            "vec": lists,
+        }
+    )
+    back = _to_matrix(t, "vec")
+    assert back.shape == (4, 3) and np.allclose(back, m)
+
+    # unioned block: 4 vector rows + 2 candidate rows (side = doc id)
+    cand = pa.table(
+        {
+            "key": np.array([12, 10], dtype=np.int64),
+            "side": np.array([99, 98], dtype=np.int64),
+            "vec": pa.nulls(2, pa.list_(pa.float32(), 3)),
+        }
+    )
+    block = pa.concat_tables([cand, t])
+    ckeys, cside, vkeys, vm = _split_union_block(block, "side", "vec")
+    assert ckeys.tolist() == [12, 10] and cside.tolist() == [99, 98]
+    gathered = _gather_by_key(vkeys, vm, ckeys)
+    assert np.allclose(gathered, m[[2, 0]])
+    import pytest
+
+    with pytest.raises(ValueError, match="missing its vector row"):
+        _gather_by_key(vkeys, vm, np.array([999], dtype=np.int64))
