@@ -99,8 +99,19 @@ class _EdgeShard:
         # n < 2^31 — the >2^31 case keeps int64, the reference's
         # Heavy-vs-Huge split in one line)
         if len(self.si) and max(self.si.max(), self.di.max()) < 2**31:
-            self.si = self.si.astype(np.int32)
-            self.di = self.di.astype(np.int32)
+            # n < 2^16 (small vertex universes over huge edge streams —
+            # e.g. repo-link graphs) narrows further to uint16: the
+            # per-iteration DRAM read is the index streams themselves,
+            # so 2 B/id halves the scatter's memory traffic vs int32.
+            # Chunked kernels convert each cache-sized slice to intp
+            # transiently; the full-stream storage is what DRAM sees.
+            dt = (
+                np.uint16
+                if max(self.si.max(), self.di.max()) < 2**16
+                else np.int32
+            )
+            self.si = self.si.astype(dt)
+            self.di = self.di.astype(dt)
         # Everything derived from the edge streams is LAZY: an actor that
         # only ever runs small-n scatters (chunked bincount, below) never
         # pays the argsort/gather build — 16 actors argsorting 8M-edge
