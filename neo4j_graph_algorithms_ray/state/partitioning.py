@@ -62,13 +62,28 @@ def source_size_bytes(ds) -> int | None:
     try:
         files = ds.input_files()
     except Exception:
-        return None
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        try:
-            total += os.path.getsize(f)
-        except OSError:
-            return None
-    return total * 4 if total > 0 else None
+        files = None
+    if files:
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                total = 0
+                break
+        if total > 0:
+            return total * 4
+    # materialized datasets know their object-store footprint without
+    # executing anything — without this, every in-memory pipeline fell
+    # back to the CPU-floor width (32 hash-shuffle aggregator actors
+    # per exchange on a few-MB table is pure spin-up overhead)
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            sz = ds.size_bytes()
+            if sz:
+                return int(sz)
+    except Exception:
+        pass
+    return None
