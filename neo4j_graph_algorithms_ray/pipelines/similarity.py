@@ -699,14 +699,27 @@ def lsh_cosine_neardup(
             )
         )
     dim = len(first[0][vec_col])
+    n_total = embeddings.count()
     if planes is None:
-        n_total = embeddings.count()
         planes = min(30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3)))))
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((tables, dim, planes))
     h_ref = ray.put(H)
     weights = (1 << np.arange(planes)).astype(np.int64)
-    width = shuffle_width(source_size_bytes(embeddings))
+    # widths sized from each EXCHANGE's estimated volume, not the
+    # input table: the bucket fan-out is tables x n 16 B rows, and the
+    # verify exchanges carry ~(n + expected_candidates) float32
+    # vectors, where E[candidates] ~ n * bucket_mean * tables / 2 with
+    # bucket_mean = n / 2^planes (~24n at the auto-sized default). An
+    # input-size hint undersizes both (serializing the verify) and the
+    # CPU-floor default oversizes them at small n (aggregator spin-up).
+    est_cand = int(
+        n_total * max(n_total / float(1 << planes), 0.5) * tables / 2
+    )
+    width = shuffle_width(16 * n_total * tables, min_width=1)
+    verify_width = shuffle_width(
+        (n_total + est_cand) * (16 + 4 * dim), min_width=1
+    )
 
     def sketch(t: pa.Table) -> pa.Table:
         Hm = ray.get(h_ref)
@@ -851,12 +864,12 @@ def lsh_cosine_neardup(
     with_b = (
         candidates.map_batches(cand_rows_b, batch_format="pyarrow")
         .union(embeddings.map_batches(vec_rows, batch_format="pyarrow"))
-        .repartition(width, keys=["key"])
+        .repartition(verify_width, keys=["key"])
         .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
     )
     return (
         with_b.union(embeddings.map_batches(vec_rows2, batch_format="pyarrow"))
-        .repartition(width, keys=["key"])
+        .repartition(verify_width, keys=["key"])
         .map_batches(score, batch_format="pyarrow", batch_size=None)
     )
 
@@ -909,6 +922,7 @@ def lsh_metric_pairs(
     if not first:
         return rd.from_pandas(empty)
     dim = len(first[0][vec_col])
+    n_total = embeddings.count()
     if planes is None:
         if metric == "euclidean":
             # p-stable buckets aren't 2^planes-bounded (the mixed hash
@@ -918,13 +932,24 @@ def lsh_metric_pairs(
         else:
             # sign buckets: 2^planes buckets/table — size to the corpus
             # (expected bucket ~3) like lsh_cosine_neardup, same footgun.
-            n_total = embeddings.count()
             planes = min(
                 30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3))))
             )
     rng = np.random.default_rng(seed)
     scale = 10.0**round_decimals
-    width = shuffle_width(source_size_bytes(embeddings))
+    # per-exchange volume sizing, same rationale as lsh_cosine_neardup
+    # (input-size hints serialize the verify; CPU floor over-spins
+    # aggregators at small n); float64 payload here. Euclidean's
+    # p-stable bucket population is set by bucket_width, not 2^planes —
+    # assume the same ~3-row target the sign paths size for.
+    bucket_mean = (
+        3.0 if metric == "euclidean" else max(n_total / float(1 << planes), 0.5)
+    )
+    est_cand = int(n_total * bucket_mean * tables / 2)
+    width = shuffle_width(16 * n_total * tables, min_width=1)
+    verify_width = shuffle_width(
+        (n_total + est_cand) * (16 + 8 * dim), min_width=1
+    )
 
     def prep(m: np.ndarray) -> np.ndarray:
         if metric == "pearson":
@@ -1089,11 +1114,11 @@ def lsh_metric_pairs(
     with_b = (
         candidates.map_batches(cand_rows_b, batch_format="pyarrow")
         .union(embeddings.map_batches(vec_rows("doc_a"), batch_format="pyarrow"))
-        .repartition(width, keys=["key"])
+        .repartition(verify_width, keys=["key"])
         .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
     )
     return (
         with_b.union(embeddings.map_batches(vec_rows("doc_b"), batch_format="pyarrow"))
-        .repartition(width, keys=["key"])
+        .repartition(verify_width, keys=["key"])
         .map_batches(score, batch_format="pyarrow", batch_size=None)
     )
