@@ -220,3 +220,30 @@ def test_duplicate_strategy_vids_supplied_path():
 
     with pytest.raises(ValueError):
         GraphTables.from_arrays(np.array([0]), np.array([1]), dedup="bogus")
+
+
+def test_index_dtype_narrowing_boundary():
+    """The shard index streams narrow to uint16 only when the dense
+    vertex universe fits; above 2^16 the int32 path must produce the
+    same results. Every other fixture has n < 65536, so this is the
+    only coverage of the int32 branch post-narrowing: a ring of 70_000
+    vertices (dense ids up to 69_999) through PageRank vs the numpy
+    oracle, and a small graph pinning the uint16 branch against it."""
+    # int32 branch: n = 70_000 > 2^16
+    n = 70_000
+    src = np.arange(n, dtype=np.int64)
+    dst = (src + 1) % n
+    g = GraphTables.from_arrays(src, dst)
+    assert g.n == n
+    res = pagerank(g, PageRankConfig(fixed_iterations=3))
+    oracle = pagerank_numpy_oracle(src, dst, n, iterations=3, tol=None)
+    np.testing.assert_allclose(res.ranks, oracle, rtol=0, atol=1e-12)
+
+    # uint16 branch: same topology at n = 600 must agree with ITS oracle
+    n2 = 600
+    s2 = np.arange(n2, dtype=np.int64)
+    d2 = (s2 + 1) % n2
+    g2 = GraphTables.from_arrays(s2, d2)
+    r2 = pagerank(g2, PageRankConfig(fixed_iterations=3))
+    o2 = pagerank_numpy_oracle(s2, d2, n2, iterations=3, tol=None)
+    np.testing.assert_allclose(r2.ranks, o2, rtol=0, atol=1e-12)
