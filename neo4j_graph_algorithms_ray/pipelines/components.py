@@ -318,6 +318,242 @@ def wcc_table(graph: GraphTables, **kw) -> pa.Table:
 
 
 # ----------------------------------------------------------------------
+# Dataset-native CC — labels live IN the dataset rows
+# ----------------------------------------------------------------------
+def _cc_typed_empty(cols: dict) -> pa.Table:
+    return pa.table({c: pa.array([], t) for c, t in cols.items()})
+
+
+def cc_pairs_dataset(
+    pairs: "object",
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    width: Optional[int] = None,
+    out_vertex: str = "doc_id",
+    out_comp: str = "group_id",
+) -> "object":
+    """Connected components over an edge-pair Dataset with NOTHING on
+    the driver: the label vector is itself a Dataset — unlike
+    :func:`wcc` (whose ``GraphTables``/``ComponentsResult`` hold the
+    vid and label vectors as driver numpy), the only driver traffic
+    here is an O(1) changed-count per round. This is the membership
+    kernel behind ``dedup.NearDupResult.groups_ds`` on the scale path,
+    where the dup-group table is corpus-sized.
+
+    Dataflow (min-label = component id = min member vid, the SURVEY
+    §5.3 canonical labeling): alternate
+
+    - EDGE-MIN rounds (2 keyed exchanges): tagged union of the label
+      table ``(vid, lab)`` with the undirected edge table keyed on the
+      source endpoint; per block a searchsorted join emits one
+      ``lab[src]`` candidate per edge plus the own-label passthrough;
+      a second exchange keyed on the destination folds the per-vertex
+      min.
+    - POINTER-JUMP rounds (1 keyed exchange): the dataflow version of
+      ``_jump`` — union label rows keyed on ``vid`` (lookup side) with
+      label rows keyed on ``lab`` (request side); each request row
+      comes back as ``(vid, lab[lab])``. Valid because a label is
+      always a same-component member vid, so ``lab∘lab`` stays in
+      component; halves pointer depth per round → O(log n) rounds
+      overall instead of O(diameter).
+
+    Terminates when an edge-min round changes nothing: at that point
+    labels are constant per component (edges run both directions) and
+    every label is a member vid, hence the min member. Returns a
+    Dataset ``(out_vertex, out_comp)`` over the vertices that appear
+    in ``pairs``.
+    """
+    import ray.data as rd  # noqa: F401 — documents the return type
+
+    from ..state.partitioning import shuffle_width, source_size_bytes
+
+    if width is None:
+        width = shuffle_width(source_size_bytes(pairs))
+    _UNION = {"k": pa.int64(), "vid": pa.int64(), "lab": pa.int64(), "side": pa.int8()}
+    _CAND = {"vid": pa.int64(), "cand": pa.int64(), "own": pa.int8()}
+    _LAB = {"vid": pa.int64(), "lab": pa.int64(), "changed": pa.int8()}
+
+    def _i64(t: pa.Table, c: str) -> np.ndarray:
+        return t[c].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+    def _both(t: pa.Table) -> pa.Table:
+        a, b = _i64(t, src), _i64(t, dst)
+        n2 = 2 * len(a)
+        return pa.table(
+            {
+                "k": np.concatenate([a, b]),
+                "vid": np.concatenate([b, a]),
+                "lab": np.zeros(n2, np.int64),
+                "side": np.ones(n2, np.int8),
+            }
+        )
+
+    def _verts(t: pa.Table) -> pa.Table:
+        return pa.table({"vid": np.unique(np.concatenate([_i64(t, src), _i64(t, dst)]))})
+
+    def _uniq_init(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _cc_typed_empty(_LAB)
+        u = np.unique(_i64(t, "vid"))
+        return pa.table({"vid": u, "lab": u, "changed": np.ones(len(u), np.int8)})
+
+    def _changed_count(L) -> int:
+        # O(#blocks) driver rows — NOT Dataset.sum(), whose hash
+        # aggregate spins num_partitions aggregator tasks per call
+        parts = L.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": np.array(
+                        [int(t["changed"].to_numpy(zero_copy_only=False).sum())],
+                        np.int64,
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).take_all()
+        return sum(int(r["c"]) for r in parts)
+
+    def _truncate(ds):
+        # materialize + REBUILD from the block refs. materialize()
+        # alone does not cut the logical plan of a union whose two
+        # branches fork off the same upstream dataset — feeding such a
+        # result back into the next round's fork doubles the retained
+        # plan every round (measured: ~x2 wall per round from round 8,
+        # 77 s/round by round 14 on a 5k-row toy; flat 1.3 s/round
+        # with this rebuild). from_arrow_refs keeps the blocks where
+        # they are — no driver traffic.
+        from ..state.csr import _block_refs
+
+        return rd.from_arrow_refs(_block_refs(ds.materialize()))
+
+    edges = _truncate(pairs.map_batches(_both, batch_format="pyarrow"))
+    labels = _truncate(
+        pairs.map_batches(_verts, batch_format="pyarrow")
+        .repartition(width, keys=["vid"])
+        .map_batches(_uniq_init, batch_format="pyarrow", batch_size=None)
+    )
+
+    def _lookup_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t["vid"],
+                "vid": t["vid"],
+                "lab": t["lab"],
+                "side": np.zeros(n, np.int8),
+            }
+        )
+
+    def _edge_stage1(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _cc_typed_empty(_CAND)
+        k, vid, lab = _i64(t, "k"), _i64(t, "vid"), _i64(t, "lab")
+        m0 = t["side"].to_numpy(zero_copy_only=False) == 0
+        k0, l0, v0 = k[m0], lab[m0], vid[m0]
+        o = np.argsort(k0, kind="stable")
+        k0s, l0s = k0[o], l0[o]
+        km, vm = k[~m0], vid[~m0]
+        if len(km):
+            pos = np.searchsorted(k0s, km)
+            if pos.max(initial=-1) >= len(k0s) or not np.array_equal(k0s[pos], km):
+                raise ValueError("edge endpoint missing its label row")
+            cand = l0s[pos]
+        else:
+            cand = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vid": np.concatenate([v0, vm]),
+                "cand": np.concatenate([l0, cand]),
+                "own": np.concatenate(
+                    [np.ones(len(v0), np.int8), np.zeros(len(vm), np.int8)]
+                ),
+            }
+        )
+
+    def _edge_stage2(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _cc_typed_empty(_LAB)
+        vid, cand = _i64(t, "vid"), _i64(t, "cand")
+        own = t["own"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cand, vid))
+        v, c, ow = vid[order], cand[order], own[order]
+        newg = np.empty(len(v), dtype=bool)
+        newg[0] = True
+        newg[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(newg)
+        old = c[ow == 1]  # one own row per vid, in group order
+        mins = c[starts]  # min candidate = first after the (vid, cand) sort
+        return pa.table(
+            {"vid": v[starts], "lab": mins, "changed": (mins != old).astype(np.int8)}
+        )
+
+    def _edge_round(L):
+        cand = (
+            L.map_batches(_lookup_rows, batch_format="pyarrow")
+            .union(edges)
+            .repartition(width, keys=["k"])
+            .map_batches(_edge_stage1, batch_format="pyarrow", batch_size=None)
+        )
+        L2 = _truncate(
+            cand.repartition(width, keys=["vid"])
+            .map_batches(_edge_stage2, batch_format="pyarrow", batch_size=None)
+        )
+        return L2, _changed_count(L2)
+
+    def _req_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t["lab"],
+                "vid": t["vid"],
+                "lab": t["lab"],
+                "side": np.ones(n, np.int8),
+            }
+        )
+
+    def _jump_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _cc_typed_empty(_LAB)
+        k, vid, lab = _i64(t, "k"), _i64(t, "vid"), _i64(t, "lab")
+        m0 = t["side"].to_numpy(zero_copy_only=False) == 0
+        k0, l0 = k[m0], lab[m0]
+        o = np.argsort(k0, kind="stable")
+        k0s, l0s = k0[o], l0[o]
+        km, vm, lm = k[~m0], vid[~m0], lab[~m0]
+        if not len(km):
+            return _cc_typed_empty(_LAB)
+        pos = np.searchsorted(k0s, km)
+        if pos.max(initial=-1) >= len(k0s) or not np.array_equal(k0s[pos], km):
+            raise ValueError("label missing its vid row")
+        new = l0s[pos]
+        return pa.table({"vid": vm, "lab": new, "changed": (new != lm).astype(np.int8)})
+
+    def _jump_round(L):
+        L2 = _truncate(
+            L.map_batches(_lookup_rows, batch_format="pyarrow")
+            .union(L.map_batches(_req_rows, batch_format="pyarrow"))
+            .repartition(width, keys=["k"])
+            .map_batches(_jump_block, batch_format="pyarrow", batch_size=None)
+        )
+        return L2, _changed_count(L2)
+
+    while True:
+        labels, changed = _edge_round(labels)
+        if not changed:
+            break
+        while True:
+            labels, jumped = _jump_round(labels)
+            if not jumped:
+                break
+    return labels.map_batches(
+        lambda t: pa.table({out_vertex: t["vid"], out_comp: t["lab"]}),
+        batch_format="pyarrow",
+    )
+
+
+# ----------------------------------------------------------------------
 # SCC — coloring / forward-backward peeling
 # ----------------------------------------------------------------------
 @dataclass

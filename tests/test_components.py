@@ -128,3 +128,48 @@ def test_size_percentiles_discrete_order_stats():
     assert t["p50"] == 2  # rank ceil(0.5*4)=2 -> sorted sizes [1,2,3,4][1]
     assert t["p1"] == 1
     assert t["p75"] == 3
+
+
+def test_cc_pairs_dataset_matches_union_find_oracle():
+    # Dataset-native CC (labels live IN the dataset; only an O(1)
+    # changed-count per round reaches the driver) vs a driver
+    # union-find over the same random edge set with sparse int64 ids.
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.components import cc_pairs_dataset
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.choice(10_000_000, 1500, replace=False).astype(np.int64))
+    a = rng.integers(0, 1500, 4000)
+    b = rng.integers(0, 1500, 4000)
+    m = a != b
+    da, db = ids[a[m]], ids[b[m]]
+    pairs = rd.from_arrow(pa.table({"doc_a": da, "doc_b": db})).repartition(4)
+    out = (
+        cc_pairs_dataset(pairs, width=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(da, db):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    exp = pd.DataFrame(
+        sorted((d, find(d)) for d in parent), columns=["doc_id", "group_id"]
+    )
+    np.testing.assert_array_equal(out["doc_id"].to_numpy(), exp["doc_id"].to_numpy())
+    np.testing.assert_array_equal(
+        out["group_id"].to_numpy(), exp["group_id"].to_numpy()
+    )

@@ -539,3 +539,63 @@ def test_dedup_against_prior_anti_join():
     # both copies of "bbb" are dropped; within-new dup handling is
     # dedup_exact's job, not this operator's
     assert out["doc_id"].tolist() == [0, 2]
+
+
+def test_neardup_dataset_native_groups_path_agrees(monkeypatch):
+    # force BOTH scale gates to zero: the banded scan runs through the
+    # hash-repartition path and group assembly through the
+    # Dataset-native cc_pairs_dataset kernel (pairs_ds/groups_ds with
+    # no driver union-find) — results must match the default path.
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    docs = _docs(
+        [base, base.replace("quick", "fast"), "totally different text " * 8,
+         base.replace("dog", "cat"), base, base.replace("lazy", "sleepy")]
+    )
+    small = minhash_lsh_neardup(docs, threshold=0.5)
+    monkeypatch.setattr(D, "_SINGLE_TASK_SCAN_MAX_DOCS", 0)
+    monkeypatch.setattr(D, "_DRIVER_UNIONFIND_MAX_PAIRS", 0)
+    big = D.minhash_lsh_neardup(docs, threshold=0.5)
+    assert big._groups is None  # Dataset-native until first .groups access
+    pd.testing.assert_frame_equal(
+        small.pairs, big.pairs.reset_index(drop=True), check_like=True
+    )
+    pd.testing.assert_frame_equal(
+        small.groups, big.groups.reset_index(drop=True), check_like=True
+    )
+
+
+def test_keep_canonical_gate_boundary_engines_agree(monkeypatch):
+    # pin the auto engine switch AT the gate boundary: the same corpus
+    # run with the gate exactly at n (driver path) and at n-1
+    # (distributed path) must emit identical survivor tables.
+    import pandas as pd
+
+    from neo4j_graph_algorithms_ray.pipelines import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    texts = [base, base.replace("quick", "fast"), "other text entirely " * 8,
+             base + " longer tail", base.replace("dog", "cat"), "short one"]
+    docs = _docs(texts)
+    n = len(texts)
+
+    def run():
+        return (
+            D.dedup_keep_canonical(docs, threshold=0.5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    monkeypatch.setattr(D, "_SINGLE_TASK_SCAN_MAX_DOCS", n)  # ≤ gate → driver
+    at_gate = run()
+    monkeypatch.setattr(D, "_SINGLE_TASK_SCAN_MAX_DOCS", n - 1)  # > gate → distributed
+    above_gate = run()
+    pd.testing.assert_frame_equal(at_gate, above_gate)
+    # and the fully Dataset-native group path (no driver union-find)
+    monkeypatch.setattr(D, "_DRIVER_UNIONFIND_MAX_PAIRS", 0)
+    native = run()
+    pd.testing.assert_frame_equal(at_gate, native)
