@@ -7,10 +7,13 @@ the procedure streams per-entity top-k similar entities above a
 
 Dataflow (no all-pairs): inverted index by item — a hash repartition on
 ``item`` makes each item's entity list block-complete; per block every
-item emits its co-entity pairs pre-aggregated on a packed (a, b) key;
-a second hash repartition on the pair key folds the global intersection
-counts; set sizes are a broadcast small side (O(#entities));
-top-k per entity is a final repartition on ``a`` + per-block head.
+item emits its co-entity pairs pre-aggregated on a packed (a, b) key,
+split into TWO entity-keyed half-rows; a hash repartition on ``entity``
+folds the per-entity set sizes AND stamps each half-row with its
+entity's global size (tagged union — nothing O(#entities) ever lands
+on the driver); a repartition on the pair key reunites the halves,
+folds the global intersection counts and scores; top-k per entity is a
+final repartition on ``a`` + per-block head.
 Skew note: a hot item with bucket size B emits O(B²) pairs — cap it
 with ``max_item_entities`` (drops items shared by more than that many
 entities, the standard stop-word cut for set similarity at scale).
@@ -136,6 +139,7 @@ def set_similarity_topk(
     entity_col: str = "e",
     item_col: str = "i",
     max_item_entities: Optional[int] = None,
+    engine: str = "auto",  # auto | single | distributed
 ) -> "rd.Dataset":
     """(entity_a, entity_b, rank, similarity): for each entity, the
     top-k most similar other entities by set jaccard/overlap, similarity
@@ -143,6 +147,8 @@ def set_similarity_topk(
     pair keys)."""
     if metric not in ("jaccard", "overlap"):
         raise ValueError(metric)
+    if engine not in ("auto", "single", "distributed"):
+        raise ValueError(engine)
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[entity_col, item_col]].drop_duplicates()
@@ -151,7 +157,9 @@ def set_similarity_topk(
         )
 
     deduped = items.map_batches(dedup, batch_format="pandas")
-    if items.count() <= _SINGLE_TASK_MAX_ROWS:
+    if engine == "single" or (
+        engine == "auto" and items.count() <= _SINGLE_TASK_MAX_ROWS
+    ):
         from ..state.csr import _block_refs
 
         mat = deduped.materialize()
@@ -170,44 +178,108 @@ def set_similarity_topk(
         .materialize()  # read twice (sizes + pair fan-out) — shuffle once
     )
 
-    def sizes_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates().groupby("e", sort=False, as_index=False).size()
-        out.columns = ["e", "s"]
-        return out
-
-    sz_parts = distinct.map_batches(
-        sizes_part, batch_format="pandas", batch_size=None
-    ).to_pandas()
-    sz = sz_parts.groupby("e", sort=True, as_index=False)["s"].sum()
-    size_e = sz["e"].to_numpy(np.int64)
-    size_v = sz["s"].to_numpy(np.int64)
-    sz_ref = ray.put((size_e, size_v))
-
-    def pair_counts(df: pd.DataFrame, _cap=max_item_entities) -> pd.DataFrame:
+    # tagged union through the entity exchange: role 0/1 rows are the
+    # a-/b-halves of a per-block partial pair count; role 2 rows are
+    # per-block partial set sizes (pk=0, c=partial size). One hash
+    # repartition on `e` folds every entity's global size and stamps it
+    # onto that entity's pair halves — the O(#entities) size table
+    # never leaves the cluster.
+    def pair_halves(df: pd.DataFrame, _cap=max_item_entities) -> pd.DataFrame:
         df = df.drop_duplicates()
         pk, c = _pair_counts_arrays(
             df["i"].to_numpy(np.int64), df["e"].to_numpy(np.int64), _cap
         )
-        return pd.DataFrame({"pk": pk, "c": c})
+        a = (pk // _PACK).astype(np.int64)
+        b = (pk % _PACK).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "e": np.concatenate([a, b]),
+                "pk": np.tile(pk, 2),
+                "c": np.tile(c, 2),
+                "role": np.repeat(np.array([0, 1], np.int8), len(pk)),
+            }
+        )
 
-    folded = (
-        distinct.map_batches(pair_counts, batch_format="pandas", batch_size=None)
-        .repartition(shuffle_width(), keys=["pk"])
+    def size_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().groupby("e", sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {
+                "e": out["e"].to_numpy(np.int64),
+                "pk": np.zeros(len(out), np.uint64),
+                "c": out["size"].to_numpy(np.int64),
+                "role": np.full(len(out), 2, np.int8),
+            }
+        )
+
+    tagged = distinct.map_batches(
+        pair_halves, batch_format="pandas", batch_size=None
+    ).union(
+        distinct.map_batches(size_partials, batch_format="pandas", batch_size=None)
+    )
+
+    def attach_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "pk": pd.Series([], dtype="uint64"),
+                    "c": pd.Series([], dtype="int64"),
+                    "role": pd.Series([], dtype="int8"),
+                    "s": pd.Series([], dtype="int64"),
+                }
+            )
+        is_size = df["role"].to_numpy(np.int8) == 2
+        sizes = (
+            df[is_size].groupby("e", sort=True)["c"].sum()
+        )  # global per-entity set size (block is e-complete)
+        rows = df[~is_size]
+        s = sizes.to_numpy(np.int64)[
+            np.searchsorted(sizes.index.to_numpy(np.int64), rows["e"].to_numpy(np.int64))
+        ]
+        return pd.DataFrame(
+            {
+                "pk": rows["pk"].to_numpy(np.uint64),
+                "c": rows["c"].to_numpy(np.int64),
+                "role": rows["role"].to_numpy(np.int8),
+                "s": s,
+            }
+        )
+
+    halves = tagged.repartition(shuffle_width(), keys=["e"]).map_batches(
+        attach_sizes, batch_format="pandas", batch_size=None
     )
 
     def score(df: pd.DataFrame, _metric=metric, _cut=cutoff) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "similarity": pd.Series([], dtype="float64")})
-        se, sv = ray.get(sz_ref)
-        g = df.groupby("pk", sort=False, as_index=False)["c"].sum()
-        return _score_pairs(
-            g["pk"].to_numpy(np.uint64), g["c"].to_numpy(np.int64),
-            se, sv, _metric, _cut,
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "similarity": pd.Series([], dtype="float64"),
+            }
         )
+        if not len(df):
+            return empty
+        role = df["role"].to_numpy(np.int8)
+        # role-0 halves carry every partial count for a pair exactly once
+        r0 = df[role == 0].groupby("pk", sort=True).agg(c=("c", "sum"), s=("s", "first"))
+        r1 = df[role == 1].groupby("pk", sort=True)["s"].first()
+        if not len(r0):
+            return empty
+        pk = r0.index.to_numpy(np.uint64)
+        c = r0["c"].to_numpy(np.float64)
+        sa = r0["s"].to_numpy(np.float64)
+        sb = r1.to_numpy(np.float64)  # same sorted pk index as r0
+        a = (pk // _PACK).astype(np.int64)
+        b = (pk % _PACK).astype(np.int64)
+        if _metric == "jaccard":
+            sim = c / (sa + sb - c)
+        else:
+            sim = c / np.minimum(sa, sb)
+        keep = sim >= _cut
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "similarity": sim[keep]})
 
-    pairs = folded.map_batches(score, batch_format="pandas", batch_size=None)
+    pairs = halves.repartition(shuffle_width(), keys=["pk"]).map_batches(
+        score, batch_format="pandas", batch_size=None
+    )
 
     def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -72,19 +72,23 @@ def _float_lists(m: np.ndarray, dtype: type, dim: int) -> pa.Array:
 
 def _split_union_block(
     t: pa.Table, side_col: str, payload: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Split a unioned keyed block into candidate rows (side >= 0) and
-    vector rows (side == -1). Returns (ckeys, cside, vkeys_sorted,
-    vm_sorted) — the vector side sorted by key, ready for a
-    searchsorted gather (the numpy hash-join)."""
+    vector rows (side == -1). Returns (cand_table, ckeys, cside,
+    vkeys_sorted, vm_sorted) — the candidate sub-table comes from the
+    SAME mask that produced ckeys/cside, so any payload a caller reads
+    off it is row-aligned with them by construction; the vector side is
+    sorted by key, ready for a searchsorted gather (the numpy
+    hash-join)."""
     side = _ids_i64(t, side_col)
     keys = _ids_i64(t, "key")
     is_vec = side < 0
     vt = t.filter(pa.array(is_vec))
+    ct = t.filter(pa.array(~is_vec))
     vkeys = keys[is_vec]
     vm = _to_matrix(vt, payload)
     order = np.argsort(vkeys, kind="stable")
-    return keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
+    return ct, keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
 
 
 def _gather_by_key(
@@ -100,6 +104,25 @@ def _gather_by_key(
     ):
         raise ValueError("candidate key missing its vector row")
     return vm[pos]
+
+
+def _auto_tables(threshold: float, planes: int, target_miss: float = 0.01) -> int:
+    """Hyperplane-LSH table count for ~``1 - target_miss`` recall AT the
+    similarity threshold (pairs above it only do better). Per-plane
+    collision probability p = 1 - arccos(threshold)/pi, so one table
+    hits with p^planes and ``tables`` independent tables miss with
+    (1 - p^planes)^tables; solve for tables. This keeps recall roughly
+    CONSTANT as the auto-sized plane count grows with the corpus — a
+    fixed table count silently decays threshold-adjacent recall from
+    ~1.0 at planes=6 to ~0.8 at planes=22 (10M vectors). Clamped to
+    [4, 64]: past 64 tables the bucket exchange cost outweighs the
+    recall tail, and the clamp point is the documented recall floor."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    hit = p**planes
+    if hit >= 1.0:
+        return 4
+    miss = max(1.0 - hit, 1e-12)
+    return int(np.clip(np.ceil(np.log(target_miss) / np.log(miss)), 4, 64))
 
 
 def _pair_dedup(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -651,7 +674,7 @@ def lsh_cosine_neardup(
     embeddings: "rd.Dataset",
     threshold: float = 0.95,
     *,
-    tables: int = 16,
+    tables: int | None = None,
     planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -669,10 +692,18 @@ def lsh_cosine_neardup(
     bucket size stays ~3 at ANY corpus size — a fixed plane count is a
     scale footgun: the bucket scan is all-pairs within buckets, so 6
     planes (64 buckets/table) at 10^6 vectors means ~10^4-row buckets
-    and an O(n²/64) candidate explosion. Pass ``planes`` explicitly on
-    derived datasets where the extra ``count()`` execution matters.
-    Buckets larger than ``max_bucket`` are skipped (degenerate-hash
-    blowup guard — mirrors the corpus heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
+    and an O(n²/64) candidate explosion. ``tables=None`` (the default)
+    auto-sizes WITH the plane count via :func:`_auto_tables` so recall
+    at the threshold stays ~0.99 as planes grow — more planes thin each
+    table's hit rate, so the table count must rise to compensate
+    (clamped at 64; beyond the clamp, recall at the exact threshold
+    degrades and the clamp is the documented floor). Passing BOTH
+    ``planes`` and ``tables`` explicitly skips the ``count()``
+    entirely (exchange widths then fall back to the input-file size
+    hint / CPU floor) — the escape hatch for derived datasets where an
+    extra execution of the upstream plan matters. Buckets larger than
+    ``max_bucket`` are skipped (degenerate-hash blowup guard — mirrors
+    the corpus heavy-key cap). Returns a Dataset (doc_a, doc_b, sim),
     exact-verified, deduped across tables.
 
     Shuffle payload: the bucket exchange carries ONLY 16 B/row
@@ -699,27 +730,43 @@ def lsh_cosine_neardup(
             )
         )
     dim = len(first[0][vec_col])
-    n_total = embeddings.count()
-    if planes is None:
-        planes = min(30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3)))))
+    if planes is None or tables is None:
+        n_total = embeddings.count()
+        if planes is None:
+            planes = min(30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3)))))
+        if tables is None:
+            tables = _auto_tables(threshold, planes)
+        # widths sized from each EXCHANGE's estimated volume, not the
+        # input table: the bucket fan-out is tables x n 16 B rows, and
+        # the verify exchanges carry ~(n + expected_candidates) float32
+        # vectors, with E[candidates] ~ n * bucket_mean * tables / 2,
+        # bucket_mean = n / 2^planes. An input-size hint undersizes
+        # both (serializing the verify) and the CPU-floor default
+        # oversizes them at small n (aggregator spin-up). The bucket
+        # exchange is additionally sized by its OUTPUT work — the
+        # within-bucket pair scan is superlinear in partition size, so
+        # a bytes-in hint alone would collapse candidate generation
+        # into one task (~64 work-bytes per expected candidate).
+        est_cand = int(
+            n_total * max(n_total / float(1 << planes), 0.5) * tables / 2
+        )
+        width = shuffle_width(
+            max(16 * n_total * tables, 64 * est_cand), min_width=1
+        )
+        verify_width = shuffle_width(
+            (n_total + est_cand) * (16 + 4 * dim), min_width=1
+        )
+    else:
+        # both sketch parameters given: never execute the upstream plan
+        # just to size exchanges — fall back to the input-file size
+        # hint (CPU floor when absent)
+        sz = source_size_bytes(embeddings)
+        width = shuffle_width(sz)
+        verify_width = shuffle_width(sz)
     rng = np.random.default_rng(seed)
     H = rng.standard_normal((tables, dim, planes))
     h_ref = ray.put(H)
     weights = (1 << np.arange(planes)).astype(np.int64)
-    # widths sized from each EXCHANGE's estimated volume, not the
-    # input table: the bucket fan-out is tables x n 16 B rows, and the
-    # verify exchanges carry ~(n + expected_candidates) float32
-    # vectors, where E[candidates] ~ n * bucket_mean * tables / 2 with
-    # bucket_mean = n / 2^planes (~24n at the auto-sized default). An
-    # input-size hint undersizes both (serializing the verify) and the
-    # CPU-floor default oversizes them at small n (aggregator spin-up).
-    est_cand = int(
-        n_total * max(n_total / float(1 << planes), 0.5) * tables / 2
-    )
-    width = shuffle_width(16 * n_total * tables, min_width=1)
-    verify_width = shuffle_width(
-        (n_total + est_cand) * (16 + 4 * dim), min_width=1
-    )
 
     def sketch(t: pa.Table) -> pa.Table:
         Hm = ray.get(h_ref)
@@ -813,7 +860,7 @@ def lsh_cosine_neardup(
         )
         if not t.num_rows:
             return empty
-        ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
+        _, ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
         if not len(ckeys):
             return empty
         # cross-BLOCK duplicate pairs: the same (a, b) can surface from
@@ -844,12 +891,11 @@ def lsh_cosine_neardup(
         )
         if not t.num_rows:
             return empty
-        ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
+        ct, ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
         if not len(ckeys):
             return empty
         va = _gather_by_key(vkeys, vm, ckeys)
-        cand_t = t.filter(pc.greater_equal(t["doc_b"], 0))
-        vb = _to_matrix(cand_t, "vec_b")
+        vb = _to_matrix(ct, "vec_b")  # same mask as ckeys — aligned
         sim = _rowwise_dot(va, vb)
         keep = sim >= _thr
         return pa.table(
@@ -879,7 +925,7 @@ def lsh_metric_pairs(
     cutoff: float,
     *,
     metric: str = "euclidean",  # euclidean | pearson | cosine
-    tables: int = 12,
+    tables: int | None = None,
     planes: int | None = None,
     bucket_width: Optional[float] = None,
     seed: int = 42,
@@ -922,34 +968,59 @@ def lsh_metric_pairs(
     if not first:
         return rd.from_pandas(empty)
     dim = len(first[0][vec_col])
-    n_total = embeddings.count()
-    if planes is None:
-        if metric == "euclidean":
-            # p-stable buckets aren't 2^planes-bounded (the mixed hash
-            # space is open; bucket population is set by bucket_width),
-            # so a fixed plane count doesn't blow up with n.
-            planes = 8
-        else:
-            # sign buckets: 2^planes buckets/table — size to the corpus
-            # (expected bucket ~3) like lsh_cosine_neardup, same footgun.
-            planes = min(
-                30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3))))
-            )
+    if planes is None or tables is None:
+        n_total = embeddings.count()
+        if planes is None:
+            if metric == "euclidean":
+                # p-stable buckets aren't 2^planes-bounded (the mixed
+                # hash space is open; bucket population is set by
+                # bucket_width), so a fixed plane count doesn't blow up
+                # with n.
+                planes = 8
+            else:
+                # sign buckets: 2^planes buckets/table — size to the
+                # corpus (expected bucket ~3) like lsh_cosine_neardup,
+                # same footgun.
+                planes = min(
+                    30, max(6, int(np.ceil(np.log2(max(n_total, 16) / 3))))
+                )
+        if tables is None:
+            if metric == "euclidean":
+                # fixed planes → per-table hit rate doesn't decay with
+                # n; the historic default holds at any size
+                tables = 12
+            else:
+                # pearson(x, y) IS the cosine of the centered vectors,
+                # so the hyperplane recall model applies to both sign
+                # metrics: grow tables with planes to hold ~0.99 recall
+                # at the cutoff
+                tables = _auto_tables(cutoff, planes)
+        # per-exchange volume sizing, same rationale as
+        # lsh_cosine_neardup (input-size hints serialize the verify;
+        # CPU floor over-spins aggregators at small n); float64 payload
+        # here. Euclidean's p-stable bucket population is set by
+        # bucket_width, not 2^planes — assume the same ~3-row target
+        # the sign paths size for. The bucket exchange adds an
+        # output-work term (~64 B per expected candidate) because the
+        # within-bucket pair scan is superlinear in partition size.
+        bucket_mean = (
+            3.0 if metric == "euclidean" else max(n_total / float(1 << planes), 0.5)
+        )
+        est_cand = int(n_total * bucket_mean * tables / 2)
+        width = shuffle_width(
+            max(16 * n_total * tables, 64 * est_cand), min_width=1
+        )
+        verify_width = shuffle_width(
+            (n_total + est_cand) * (16 + 8 * dim), min_width=1
+        )
+    else:
+        # both sketch parameters given: skip the count() — size from
+        # the input-file hint (CPU floor when absent)
+        sz = source_size_bytes(embeddings)
+        width = shuffle_width(sz)
+        verify_width = shuffle_width(sz)
     rng = np.random.default_rng(seed)
     scale = 10.0**round_decimals
-    # per-exchange volume sizing, same rationale as lsh_cosine_neardup
-    # (input-size hints serialize the verify; CPU floor over-spins
-    # aggregators at small n); float64 payload here. Euclidean's
-    # p-stable bucket population is set by bucket_width, not 2^planes —
-    # assume the same ~3-row target the sign paths size for.
-    bucket_mean = (
-        3.0 if metric == "euclidean" else max(n_total / float(1 << planes), 0.5)
-    )
-    est_cand = int(n_total * bucket_mean * tables / 2)
-    width = shuffle_width(16 * n_total * tables, min_width=1)
-    verify_width = shuffle_width(
-        (n_total + est_cand) * (16 + 8 * dim), min_width=1
-    )
 
     def prep(m: np.ndarray) -> np.ndarray:
         if metric == "pearson":
@@ -1064,7 +1135,7 @@ def lsh_metric_pairs(
         )
         if not t.num_rows:
             return out_empty
-        ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
+        _, ckeys, cdoc_a, vkeys, vm = _split_union_block(t, "doc_a", "vec")
         if not len(ckeys):
             return out_empty
         cdoc_a, ckeys = _pair_dedup(cdoc_a, ckeys)  # cross-block dups
@@ -1085,11 +1156,11 @@ def lsh_metric_pairs(
         )
         if not t.num_rows:
             return out_empty
-        ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
+        ct, ckeys, cdoc_b, vkeys, vm = _split_union_block(t, "doc_b", "vec_b")
         if not len(ckeys):
             return out_empty
         va = _gather_by_key(vkeys, vm, ckeys)
-        vb = _to_matrix(t.filter(pc.greater_equal(t["doc_b"], 0)), "vec_b")
+        vb = _to_matrix(ct, "vec_b")  # same mask as ckeys — aligned
         if metric == "euclidean":
             s = np.sqrt(
                 np.maximum(

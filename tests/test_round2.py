@@ -170,6 +170,34 @@ def test_set_similarity_single_task_and_shuffle_paths_agree(monkeypatch):
     )
 
 
+def test_set_similarity_distributed_engine_with_item_cap():
+    # engine="distributed" forces the tagged-union size-attach path on
+    # small data; the hot-item cap must drop the same pairs as the
+    # single-task engine.
+    from neo4j_graph_algorithms_ray.pipelines import setsimilarity as S
+
+    rng = np.random.default_rng(23)
+    e = rng.integers(0, 30, 400)
+    i = rng.integers(0, 12, 400)
+    items = rd.from_arrow(pa.table({"e": e, "i": i}))
+    for metric in ("jaccard", "overlap"):
+        single = S.set_similarity_topk(
+            items, metric=metric, topk=3, cutoff=0.2,
+            max_item_entities=20, engine="single",
+        ).to_pandas()
+        dist = S.set_similarity_topk(
+            items, metric=metric, topk=3, cutoff=0.2,
+            max_item_entities=20, engine="distributed",
+        ).to_pandas()
+        assert len(single) > 0
+        key = ["entity_a", "rank"]
+        pd.testing.assert_frame_equal(
+            single.sort_values(key).reset_index(drop=True),
+            dist.sort_values(key).reset_index(drop=True),
+            check_like=True,
+        )
+
+
 def test_set_similarity_topk_matches_bruteforce():
     from neo4j_graph_algorithms_ray.pipelines.setsimilarity import (
         set_similarity_topk,

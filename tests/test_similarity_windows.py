@@ -485,11 +485,33 @@ def test_lsh_exchange_helpers_unit():
         }
     )
     block = pa.concat_tables([cand, t])
-    ckeys, cside, vkeys, vm = _split_union_block(block, "side", "vec")
+    ct, ckeys, cside, vkeys, vm = _split_union_block(block, "side", "vec")
     assert ckeys.tolist() == [12, 10] and cside.tolist() == [99, 98]
+    # the candidate sub-table comes from the same mask — row-aligned
+    assert ct["key"].to_pylist() == [12, 10]
     gathered = _gather_by_key(vkeys, vm, ckeys)
     assert np.allclose(gathered, m[[2, 0]])
     import pytest
 
     with pytest.raises(ValueError, match="missing its vector row"):
         _gather_by_key(vkeys, vm, np.array([999], dtype=np.int64))
+
+
+def test_auto_tables_holds_recall_as_planes_grow():
+    """Table auto-sizing must keep threshold recall ~constant while the
+    plane count scales with the corpus: recall = 1-(1-p^planes)^tables
+    with p = 1 - arccos(threshold)/pi must stay >= 0.98 at every
+    auto-sized (planes, tables) pair until the 64-table clamp."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import _auto_tables
+
+    thr = 0.95
+    p = 1.0 - np.arccos(thr) / np.pi
+    for planes in (6, 10, 16, 22):
+        tables = _auto_tables(thr, planes)
+        assert 4 <= tables <= 64
+        recall = 1.0 - (1.0 - p**planes) ** tables
+        if tables < 64:  # below the clamp the target must be met
+            assert recall >= 0.98, (planes, tables, recall)
+    # monotone: more planes -> at least as many tables
+    ts = [_auto_tables(thr, k) for k in (6, 10, 16, 22)]
+    assert ts == sorted(ts)
