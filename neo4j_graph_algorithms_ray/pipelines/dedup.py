@@ -26,7 +26,6 @@ from ..stages.minhash import (
     char_shingles_u64,
     hamming64,
     lsh_band_matrix,
-    minhash_signature,
 )
 from ..stages.text import sha256_hex
 from ..state.partitioning import shuffle_width, source_size_bytes
@@ -271,6 +270,93 @@ def _pairs_dataset_to_result(
     return NearDupResult(pairs_ds=deduped, groups_ds=groups_ds)
 
 
+def _bucket_pair_index(
+    bid: np.ndarray, bh: np.ndarray, max_bucket: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(I, J) positional candidate pairs over arrays ALREADY lexsorted
+    by (bid, bh): all pairs within each equal-(bid, bh) bucket of size
+    in [2, max_bucket]; oversized buckets (degenerate band hash or a
+    giant duplicate cluster) contribute a consecutive-pair CHAIN
+    instead of all pairs — O(B) verified links keep a true duplicate
+    cluster connected through the WCC transitive closure while
+    bounding the O(B²) blowup the cap exists for. Pair indices are
+    generated per bucket-SIZE class (a handful of Python iterations,
+    not one per bucket)."""
+    new = np.empty(len(bid), dtype=bool)
+    new[0] = True
+    new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(bid))
+    lens = ends - starts
+    pick = (lens >= 2) & (lens <= max_bucket)
+    over = lens > max_bucket
+    if not pick.any() and not over.any():
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    I_parts, J_parts = [], []
+    for L in np.unique(lens[pick]):
+        s_L = starts[pick][lens[pick] == L]
+        ii, jj = np.triu_indices(int(L), 1)
+        I_parts.append((s_L[:, None] + ii[None, :]).ravel())
+        J_parts.append((s_L[:, None] + jj[None, :]).ravel())
+    for s, e in zip(starts[over], ends[over]):
+        idx = np.arange(s, e - 1)
+        I_parts.append(idx)
+        J_parts.append(idx + 1)
+    return np.concatenate(I_parts), np.concatenate(J_parts)
+
+
+@ray.remote
+def _scan_minhash_sig_blocks(
+    bands: int, threshold: float, max_bucket: int, *blocks
+) -> pd.DataFrame:
+    """Single-task LSH scan over materialized (doc_id, sig) blocks:
+    band explosion, run-length bucket scan, inline signature verify —
+    the whole sketch table fits one worker heap below the gate, so two
+    HashShuffle exchanges would be pure fixed overhead."""
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64"),
+         "similarity": pd.Series([], dtype="float64")}
+    )
+    tables = [b for b in blocks if b.num_rows]
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)
+    num_perm = t.schema.field("sig").type.list_size
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sigmat = (
+        t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(-1, num_perm)
+    )
+    bhm = lsh_band_matrix(sigmat, bands)  # (n, bands) uint64
+    n = len(ids)
+    bid = np.tile(np.arange(bands, dtype=np.int64), n)
+    bh = (bhm >> np.uint64(1)).astype(np.int64).reshape(-1)
+    didx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    order = np.lexsort((ids[didx], bh, bid))
+    bid, bh, didx = bid[order], bh[order], didx[order]
+    I, J = _bucket_pair_index(bid, bh, max_bucket)
+    out = []
+    for c in range(0, len(I), 2_000_000):  # bound the bool workspace
+        Ic, Jc = didx[I[c : c + 2_000_000]], didx[J[c : c + 2_000_000]]
+        est = (sigmat[Ic] == sigmat[Jc]).mean(axis=1)
+        keep = (est >= threshold) & (ids[Ic] != ids[Jc])
+        if keep.any():
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[Ic[keep]],
+                        "doc_b": ids[Jc[keep]],
+                        "similarity": est[keep],
+                    }
+                )
+            )
+    if not out:
+        return empty
+    return pd.concat(out, ignore_index=True)
+
+
 def minhash_lsh_neardup(
     docs: "rd.Dataset",
     *,
@@ -286,10 +372,20 @@ def minhash_lsh_neardup(
     Default 16 bands × 4 rows: the LSH s-curve midpoint is
     (1/bands)^(1/rows) ≈ 0.5, matched to the default ``threshold``.
 
-    shingle → minhash per batch (band rows built as numpy columns, no
-    per-row Python loops); explode to (band_id, band_hash, doc_id,
-    signature); hash-repartition on band_hash; per-block bucket scan
-    emits candidate pairs verified by signature-estimated Jaccard ≥
+    The sketch stage computes ONE (doc_id, sig) row per document — the
+    whole batch's signatures in a single vectorized pass
+    (:func:`~..stages.minhash.minhash_signatures_batch`: k byte-gathers
+    + per-permutation segmented ``reduceat``, utf-8 read zero-copy off
+    the Arrow buffers; no per-document Python). Below the single-task
+    gate the materialized sig table is scanned in one remote task.
+    Above it, the band exchange ships 24 B/row (band_id, band_hash,
+    doc_id) — NOT the ``8·num_perm``-byte signature 16× over — and
+    signatures join back to the surviving candidate pairs for the
+    verify in two further keyed exchanges (the same join-back shape as
+    ``lsh_cosine_neardup``), each moving one signature per candidate
+    plus one streaming pass of the corpus sig table.
+
+    Candidate pairs are verified by signature-estimated Jaccard ≥
     threshold. Buckets larger than ``max_bucket`` emit a consecutive
     CHAIN of O(B) pairs instead of all O(B²) — a true giant duplicate
     cluster stays connected through the WCC transitive closure (every
@@ -302,119 +398,198 @@ def minhash_lsh_neardup(
     driver-check scale) and stay group-equivalent on genuine duplicate
     clusters at scale.
     """
+    from ..stages.minhash import minhash_signatures_batch
+    from .similarity import (
+        _gather_by_key,
+        _ids_i64,
+        _pair_dedup,
+        _split_union_block,
+    )
 
-    def sketch(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy(np.int64)
-        if not len(ids):  # empty block from an upstream filter
-            return pd.DataFrame(
-                {
-                    "band_id": pd.Series([], dtype="int64"),
-                    "band_hash": pd.Series([], dtype="int64"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                    "sig": pd.Series([], dtype=object),
-                }
-            )
-        sigs = np.stack(
-            [
-                minhash_signature(char_shingles_u64(t), num_perm)
-                for t in df[text_col]
-            ]
+    stype = pa.list_(pa.uint64(), num_perm)
+
+    def _sig_lists(m: np.ndarray) -> pa.Array:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(m, dtype=np.uint64).ravel()), num_perm
         )
-        bh = lsh_band_matrix(sigs, bands)  # (n, bands)
-        n = len(ids)
-        return pd.DataFrame(
+
+    def _sig_matrix(t: pa.Table, col: str = "sig") -> np.ndarray:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return c.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        ids = _ids_i64(t, id_col)
+        if not len(ids):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "sig": pa.nulls(0, stype)}
+            )
+        return pa.table(
             {
-                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
-                "band_hash": (bh >> np.uint64(1)).astype(np.int64).reshape(-1),
-                "doc_id": np.repeat(ids, bands),
-                "sig": np.repeat(
-                    np.array([s.tobytes() for s in sigs], dtype=object), bands
+                "doc_id": ids,
+                "sig": _sig_lists(
+                    minhash_signatures_batch(t[text_col], num_perm)
                 ),
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # run-length bucket scan: lexsort + boundary flags instead of a
-        # pandas groupby — the overwhelming majority of (band, hash)
-        # buckets are singletons, and iterating them as Python groups
-        # costs more than every other stage combined
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "similarity": pd.Series([], dtype="float64")}
-        )
-        if not len(df):
-            return empty
-        bid = df["band_id"].to_numpy(np.int64)
-        bh = df["band_hash"].to_numpy(np.int64)
-        ids = df["doc_id"].to_numpy(np.int64)
-        sig = df["sig"].to_numpy()
-        order = np.lexsort((ids, bh, bid))
-        bid, bh, ids, sig = bid[order], bh[order], ids[order], sig[order]
-        new = np.empty(len(bid), dtype=bool)
-        new[0] = True
-        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], len(bid))
-        lens = ends - starts
-        pick = (lens >= 2) & (lens <= max_bucket)
-        over = lens > max_bucket
-        if not pick.any() and not over.any():
-            return empty
-        # one decode of every signature (row-major uint64 matrix), then
-        # pair indices generated per bucket-SIZE class — a handful of
-        # Python iterations instead of one per bucket
-        sigmat = np.frombuffer(b"".join(sig.tolist()), dtype=np.uint64).reshape(
-            len(sig), -1
-        )
-        I_parts, J_parts = [], []
-        for L in np.unique(lens[pick]):
-            s_L = starts[pick][lens[pick] == L]
-            ii, jj = np.triu_indices(int(L), 1)
-            I_parts.append((s_L[:, None] + ii[None, :]).ravel())
-            J_parts.append((s_L[:, None] + jj[None, :]).ravel())
-        # oversized buckets (degenerate band hash or a giant duplicate
-        # cluster): consecutive-pair CHAIN instead of all pairs — O(B)
-        # verified links keep the group connected through the WCC
-        # transitive closure while bounding the O(B²) blowup the cap
-        # exists for (previously these buckets were dropped outright —
-        # zero recall on >max_bucket boilerplate clusters)
-        for s, e in zip(starts[over], ends[over]):
-            idx = np.arange(s, e - 1)
-            I_parts.append(idx)
-            J_parts.append(idx + 1)
-        I = np.concatenate(I_parts)
-        J = np.concatenate(J_parts)
-        out = []
-        for c in range(0, len(I), 2_000_000):  # bound the bool workspace
-            Ic, Jc = I[c : c + 2_000_000], J[c : c + 2_000_000]
-            est = (sigmat[Ic] == sigmat[Jc]).mean(axis=1)
-            keep = est >= threshold
-            if keep.any():
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "doc_a": ids[Ic[keep]],
-                            "doc_b": ids[Jc[keep]],
-                            "similarity": est[keep],
-                        }
-                    )
-                )
-        if not out:
-            return empty
-        return pd.concat(out, ignore_index=True)
+    n_docs = docs.count()
+    sigs_ds = docs.map_batches(sig_rows, batch_format="pyarrow").materialize()
 
-    sk = docs.map_batches(sketch, batch_format="pandas")
-    if docs.count() <= _SINGLE_TASK_SCAN_MAX_DOCS:
+    if n_docs <= _SINGLE_TASK_SCAN_MAX_DOCS:
         from ..state.csr import _block_refs
 
-        sk = sk.materialize()
-        pairs_df = ray.get(_scan_sketch_blocks.remote(bucket_pairs, *_block_refs(sk)))
+        pairs_df = ray.get(
+            _scan_minhash_sig_blocks.remote(
+                bands, threshold, max_bucket, *_block_refs(sigs_ds)
+            )
+        )
         return _pairs_df_to_result(pairs_df)
-    cand = sk.repartition(
-        shuffle_width(source_size_bytes(docs)), keys=["band_hash"]
-    ).map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
-    return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
+
+    # ----- distributed path: 24 B band rows + signature join-back -----
+    # est_cand ~ n_docs sizes the exchanges for a realistic ~1 surviving
+    # candidate per doc (real buckets are singletons except true dups);
+    # the bucket exchange width also carries the superlinear pair-scan
+    # work term (64 work-bytes per expected candidate, as in the LSH
+    # cosine path) so candidate generation keeps parallelism.
+    est_cand = n_docs
+    band_width = shuffle_width(
+        max(24 * n_docs * bands, 64 * est_cand), min_width=1
+    )
+    verify_width = shuffle_width(
+        2 * (n_docs + est_cand) * (24 + 8 * num_perm), min_width=1
+    )
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = _ids_i64(t, "doc_id")
+        if not len(ids):
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int64()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        bh = lsh_band_matrix(_sig_matrix(t), bands)  # (n, bands)
+        n = len(ids)
+        return pa.table(
+            {
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": (bh >> np.uint64(1)).astype(np.int64).reshape(-1),
+                "doc_id": np.repeat(ids, bands),
+            }
+        )
+
+    def bucket_candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+        if not t.num_rows:
+            return empty
+        bid = _ids_i64(t, "band_id")
+        bh = _ids_i64(t, "band_hash")
+        ids = _ids_i64(t, "doc_id")
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        I, J = _bucket_pair_index(bid, bh, max_bucket)
+        if not len(I):
+            return empty
+        a, b = ids[I], ids[J]
+        keep = a != b
+        return pa.table(
+            {"doc_a": np.minimum(a, b)[keep], "doc_b": np.maximum(a, b)[keep]}
+        )
+
+    def sig_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_id"],
+                "doc_a": pa.array(np.full(n, -1, np.int64)),
+                "sig": t["sig"],
+            }
+        )
+
+    def cand_rows_b(t: pa.Table) -> pa.Table:
+        a = _ids_i64(t, "doc_a")
+        b = _ids_i64(t, "doc_b")
+        a, b = _pair_dedup(a, b)
+        return pa.table({"key": b, "doc_a": a, "sig": pa.nulls(len(a), stype)})
+
+    def attach_b(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "sig_b": pa.nulls(0, stype),
+            }
+        )
+        if not t.num_rows:
+            return empty
+        _, ckeys, cdoc_a, vkeys, vm = _split_union_block(
+            t, "doc_a", "sig", extract=_sig_matrix
+        )
+        if not len(ckeys):
+            return empty
+        # cross-BLOCK duplicate pairs (same (a,b) from several bucket
+        # partitions) all hash to this one doc_b block — collapse here
+        cdoc_a, ckeys = _pair_dedup(cdoc_a, ckeys)
+        gathered = _gather_by_key(vkeys, vm, ckeys)
+        return pa.table(
+            {"key": cdoc_a, "doc_b": ckeys, "sig_b": _sig_lists(gathered)}
+        )
+
+    def sig_side2(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_id"],
+                "doc_b": pa.array(np.full(n, -1, np.int64)),
+                "sig_b": t["sig"],
+            }
+        )
+
+    def score(t: pa.Table, _thr=threshold) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             "similarity": pa.array([], pa.float64())}
+        )
+        if not t.num_rows:
+            return empty
+        ct, ckeys, cdoc_b, vkeys, vm = _split_union_block(
+            t, "doc_b", "sig_b", extract=_sig_matrix
+        )
+        if not len(ckeys):
+            return empty
+        sig_a = _gather_by_key(vkeys, vm, ckeys)
+        sig_b = _sig_matrix(ct, "sig_b")  # same mask as ckeys — aligned
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= _thr
+        return pa.table(
+            {"doc_a": ckeys[keep], "doc_b": cdoc_b[keep], "similarity": est[keep]}
+        )
+
+    candidates = (
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+        .repartition(band_width, keys=["band_hash"])
+        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
+    )
+    with_b = (
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
+        .union(sigs_ds.map_batches(sig_side, batch_format="pyarrow"))
+        .repartition(verify_width, keys=["key"])
+        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
+    )
+    verified = (
+        with_b.union(sigs_ds.map_batches(sig_side2, batch_format="pyarrow"))
+        .repartition(verify_width, keys=["key"])
+        .map_batches(score, batch_format="pyarrow", batch_size=None)
+    )
+    return _pairs_dataset_to_result(verified, pairs_hint=24 * est_cand)
+
+
 
 
 def simhash_neardup(

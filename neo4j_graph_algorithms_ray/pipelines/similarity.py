@@ -71,7 +71,7 @@ def _float_lists(m: np.ndarray, dtype: type, dim: int) -> pa.Array:
 
 
 def _split_union_block(
-    t: pa.Table, side_col: str, payload: str
+    t: pa.Table, side_col: str, payload: str, extract=None
 ) -> tuple[pa.Table, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Split a unioned keyed block into candidate rows (side >= 0) and
     vector rows (side == -1). Returns (cand_table, ckeys, cside,
@@ -79,14 +79,16 @@ def _split_union_block(
     SAME mask that produced ckeys/cside, so any payload a caller reads
     off it is row-aligned with them by construction; the vector side is
     sorted by key, ready for a searchsorted gather (the numpy
-    hash-join)."""
+    hash-join). ``extract`` overrides the payload reader (default
+    float-list ``_to_matrix``; dedup's minhash join-back passes a
+    uint64 signature reader — float64 would corrupt 64-bit hashes)."""
     side = _ids_i64(t, side_col)
     keys = _ids_i64(t, "key")
     is_vec = side < 0
     vt = t.filter(pa.array(is_vec))
     ct = t.filter(pa.array(~is_vec))
     vkeys = keys[is_vec]
-    vm = _to_matrix(vt, payload)
+    vm = (extract or _to_matrix)(vt, payload)
     order = np.argsort(vkeys, kind="stable")
     return ct, keys[~is_vec], side[~is_vec], vkeys[order], vm[order]
 

@@ -599,3 +599,32 @@ def test_keep_canonical_gate_boundary_engines_agree(monkeypatch):
     monkeypatch.setattr(D, "_DRIVER_UNIONFIND_MAX_PAIRS", 0)
     native = run()
     pd.testing.assert_frame_equal(at_gate, native)
+
+
+def test_minhash_signatures_batch_matches_perdoc():
+    # the batched kernel must be BIT-identical to the per-doc
+    # definition (min over (a*shingle+b) mod 2^64) for every input
+    # shape: empty, shorter-than-k (zero-padded), unicode, long,
+    # and both Arrow string encodings (the zero-copy buffer path)
+    from neo4j_graph_algorithms_ray.stages.minhash import (
+        char_shingles_u64,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = ["", "ab", "abcde", "the quick brown fox " * 9,
+             "ünïcodé tèxt ø∂ƒ", "x" * 300, "word " * 50]
+    want = np.stack([minhash_signature(char_shingles_u64(t), 64) for t in texts])
+    assert np.array_equal(want, minhash_signatures_batch(texts, 64))
+    assert np.array_equal(
+        want, minhash_signatures_batch(pa.array(texts, pa.string()), 64)
+    )
+    assert np.array_equal(
+        want, minhash_signatures_batch(pa.array(texts, pa.large_string()), 64)
+    )
+    # sliced array: offsets don't start at 0
+    sl = pa.array(["pad", "pad2"] + texts).slice(2)
+    assert np.array_equal(want, minhash_signatures_batch(sl, 64))
+    # chunked: the combine_chunks path
+    ch = pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])])
+    assert np.array_equal(want, minhash_signatures_batch(ch, 64))
