@@ -511,32 +511,11 @@ def line_dedup(
     )
 
 
-def tfidf_top_terms(
-    docs: "rd.Dataset",
-    k: int = 5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> "rd.Dataset":
-    """Per-doc top-k TF-IDF keywords: ``(doc_id, word, tf, score)``
-    with ``score = round(tf * ln((N+1)/(df+1)), 6)``, ties broken
-    (score desc, word asc) — the classic smoothed-idf keyword
-    extractor, the relevance-scoring step of data-selection recipes
-    (DSIR-style importance weighting runs on exactly these features).
-
-    Dataflow: the exploded ``(doc_id, word, tf)`` table streams twice
-    (once into the DF aggregate, once into the join) rather than being
-    materialized — at corpus scale the doubled tokenize is cheap
-    against pinning the word table in the object store. The DF side is
-    pre-aggregated per batch before its width-bounded hash aggregate;
-    the join and the final per-doc top-k run at the same bounded
-    width; N comes from parquet metadata (count of a read-rooted
-    plan), not an extra scan.
-    """
-    from ..state.partitioning import shuffle_width
-
-    width = shuffle_width()
-    n_docs = docs.count()
-
+def _tf_explode(id_col: str, text_col: str):
+    """Batch fn: docs → exploded ``(doc_id, word, tf)`` Arrow table,
+    one row per (doc, word) — shared by the TF-IDF and unigram-LM
+    pipelines (each doc lives in exactly one input row, so the pair
+    key is globally unique without any exchange)."""
     import pyarrow as pa
 
     def tf_explode(df: pd.DataFrame) -> pa.Table:
@@ -566,73 +545,59 @@ def tfidf_top_terms(
             }
         )
 
-    # The DF side joins back to the TF side via a TAGGED UNION + one
-    # keyed repartition + per-block merge — NOT Dataset.join, whose
-    # aggregator builds a zero-column Arrow table for any hash
-    # partition that received no shards from one side, and
-    # pa.Table.join then dies on the missing key field.
-    def df_partial(d: pd.DataFrame) -> pa.Table:
-        g = d.groupby("word", as_index=False).size()
-        return pa.table(
-            {
-                "word": pa.array(g["word"], pa.string()),
-                "df": g["size"].to_numpy(np.int64),
-            }
+    return tf_explode
+
+
+def tfidf_top_terms(
+    docs: "rd.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Per-doc top-k TF-IDF keywords: ``(doc_id, word, tf, score)``
+    with ``score = round(tf * ln((N+1)/(df+1)), 6)``, ties broken
+    (score desc, word asc) — the classic smoothed-idf keyword
+    extractor, the relevance-scoring step of data-selection recipes
+    (DSIR-style importance weighting runs on exactly these features).
+
+    Dataflow (single-tokenize): the exploded ``(doc_id, word, tf)``
+    table — one row per (doc, word), so DF is a plain row count per
+    word — is tokenized ONCE and hash-repartitioned on ``word``. Each
+    word is then BLOCK-COMPLETE, so df is a block-local group size and
+    the separate DF aggregate + tagged-union join of the old plan (and
+    its second tokenize pass) don't exist. Scores are computed in the
+    word blocks and pruned to the per-(block, doc) top-k before the
+    doc exchange — the global per-doc top-k under the (score desc,
+    word asc) total order is contained in the union of per-block
+    top-ks — so the second exchange carries ≤ k·width rows per doc,
+    not the doc's full vocabulary. N comes from parquet metadata
+    (count of a read-rooted plan), not an extra scan.
+    """
+    from ..state.partitioning import shuffle_width
+
+    width = shuffle_width()
+    n_docs = docs.count()
+
+    tf = docs.map_batches(_tf_explode(id_col, text_col), batch_format="pandas")
+
+    def score_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "word": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        dfreq = (
+            df.groupby("word", sort=False)["doc_id"]
+            .transform("size")
+            .to_numpy(np.float64)
         )
-
-    def fold_df(d: pd.DataFrame) -> pa.Table:
-        g = d.groupby("word", as_index=False)["df"].sum()
-        return pa.table(
-            {
-                "word": pa.array(g["word"], pa.string()),
-                "df": g["df"].to_numpy(np.int64),
-            }
-        )
-
-    def tag_df(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(n, -1, np.int64)),
-                "word": t["word"],
-                "tf": pa.array(np.zeros(n, np.int64)),
-                "df": t["df"],
-                "side": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    def tag_tf(t: pa.Table) -> pa.Table:
-        return t.append_column("df", pa.array(np.zeros(len(t), np.int64))).append_column(
-            "side", pa.array(np.zeros(len(t), np.int8))
-        )
-
-    tf = docs.map_batches(tf_explode, batch_format="pandas")
-    # DF aggregate via the house repartition+fold exchange — Ray's
-    # groupby().sum() HashAggregate has multi-second fixed overhead
-    # (hundreds of partition tasks for a kB-scale word table)
-    df_tab = (
-        tf.map_batches(df_partial, batch_format="pandas")
-        .repartition(width, keys=["word"])
-        .map_batches(fold_df, batch_format="pandas", batch_size=None)
-        .map_batches(tag_df, batch_format="pyarrow")
-    )
-    combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(df_tab)
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["side"] == 0]
-        rhs = df[df["side"] == 1]
-        return lhs[["doc_id", "word", "tf"]].merge(
-            rhs[["word", "df"]], on="word", how="inner"
-        )
-
-    joined = combined.repartition(width, keys=["word"]).map_batches(
-        merge, batch_format="pandas", batch_size=None
-    )
-
-    def topk(df: pd.DataFrame) -> pd.DataFrame:
         score = np.floor(
             df["tf"].to_numpy(np.float64)
-            * np.log((n_docs + 1.0) / (df["df"].to_numpy(np.float64) + 1.0))
+            * np.log((n_docs + 1.0) / (dfreq + 1.0))
             * 1e6
             + 0.5
         ) / 1e6
@@ -651,8 +616,19 @@ def tfidf_top_terms(
         )
         return out.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
 
-    return joined.repartition(width, keys=["doc_id"]).map_batches(
-        topk, batch_format="pandas", batch_size=None
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["doc_id", "score", "word"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return out.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+
+    return (
+        tf.repartition(width, keys=["word"])
+        .map_batches(score_block, batch_format="pandas", batch_size=None)
+        .repartition(width, keys=["doc_id"])
+        .map_batches(topk, batch_format="pandas", batch_size=None)
     )
 
 
@@ -764,14 +740,16 @@ def unigram_logloss(
     rounded half-away to 6 — unusual-vocabulary docs score high, and
     thresholding it is the standard head/middle/tail split.
 
-    Same two-exchange dataflow as :func:`tfidf_top_terms` (the LM *is*
-    a word-count table too big to broadcast at corpus scale): exploded
-    ``(doc_id, word, tf)`` rejoins the width-bounded count aggregate
-    through a tagged union + one keyed repartition, then one exchange
-    on doc_id folds the per-doc average.
+    Same single-tokenize dataflow as :func:`tfidf_top_terms` (the LM
+    *is* a word-count table too big to broadcast at corpus scale): the
+    exploded ``(doc_id, word, tf)`` table hash-repartitions on
+    ``word``, which makes each word block-complete — the LM count
+    ``cnt_w`` is a block-local group sum, so no separate count
+    aggregate, tagged union, or second tokenize pass exists. The word
+    blocks emit per-(block, doc) partial ``(Σtf, Σnll)`` rows — O(docs
+    × width), not O(doc vocabulary) — and one exchange on doc_id folds
+    the per-doc average.
     """
-    import pyarrow as pa
-
     from ..state.partitioning import shuffle_width
 
     width = shuffle_width()
@@ -786,87 +764,31 @@ def unigram_logloss(
         )
     )
 
-    def tf_explode(df: pd.DataFrame) -> pa.Table:
-        words = df[text_col].str.split(" ")
-        counts = words.str.len().to_numpy(np.int64)
-        if not counts.sum():
-            return pa.table(
+    tf = docs.map_batches(_tf_explode(id_col, text_col), batch_format="pandas")
+
+    def nll_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
                 {
-                    "doc_id": np.empty(0, np.int64),
-                    "word": pa.array([], pa.string()),
-                    "tf": np.empty(0, np.int64),
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "tf": pd.Series([], dtype="int64"),
+                    "nll": pd.Series([], dtype="float64"),
                 }
             )
-        drep = np.repeat(df[id_col].to_numpy(np.int64), counts)
-        allw = np.concatenate([np.asarray(x, dtype=object) for x in words])
-        out = (
-            pd.DataFrame({"doc_id": drep, "word": allw})
-            .groupby(["doc_id", "word"], sort=False)
-            .size()
-            .reset_index(name="tf")
+        cnt = (
+            df.groupby("word", sort=False)["tf"]
+            .transform("sum")
+            .to_numpy(np.float64)
         )
-        return pa.table(
-            {
-                "doc_id": out["doc_id"].to_numpy(np.int64),
-                "word": pa.array(out["word"], pa.string()),
-                "tf": out["tf"].to_numpy(np.int64),
-            }
+        nll = df["tf"].to_numpy(np.float64) * -np.log(cnt / total)
+        g = (
+            pd.DataFrame(
+                {"doc_id": df["doc_id"].to_numpy(np.int64), "tf": df["tf"], "nll": nll}
+            )
+            .groupby("doc_id", as_index=False, sort=False)
+            .agg(tf=("tf", "sum"), nll=("nll", "sum"))
         )
-
-    def cnt_partial(d: pd.DataFrame) -> pa.Table:
-        g = d.groupby("word", as_index=False)["tf"].sum()
-        return pa.table(
-            {
-                "word": pa.array(g["word"], pa.string()),
-                "cnt": g["tf"].to_numpy(np.int64),
-            }
-        )
-
-    def fold_cnt(d: pd.DataFrame) -> pa.Table:
-        g = d.groupby("word", as_index=False)["cnt"].sum()
-        return pa.table(
-            {
-                "word": pa.array(g["word"], pa.string()),
-                "cnt": g["cnt"].to_numpy(np.int64),
-            }
-        )
-
-    def tag_cnt(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(n, -1, np.int64)),
-                "word": t["word"],
-                "tf": pa.array(np.zeros(n, np.int64)),
-                "cnt": t["cnt"],
-                "side": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    def tag_tf(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "cnt", pa.array(np.zeros(len(t), np.int64))
-        ).append_column("side", pa.array(np.zeros(len(t), np.int8)))
-
-    tf = docs.map_batches(tf_explode, batch_format="pandas")
-    # count aggregate via repartition+fold (see tfidf_top_terms on why
-    # not Ray groupby)
-    cnt_tab = (
-        tf.map_batches(cnt_partial, batch_format="pandas")
-        .repartition(width, keys=["word"])
-        .map_batches(fold_cnt, batch_format="pandas", batch_size=None)
-        .map_batches(tag_cnt, batch_format="pyarrow")
-    )
-    combined = tf.map_batches(tag_tf, batch_format="pyarrow").union(cnt_tab)
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["side"] == 0]
-        rhs = df[df["side"] == 1]
-        m = lhs[["doc_id", "word", "tf"]].merge(
-            rhs[["word", "cnt"]], on="word", how="inner"
-        )
-        m["nll"] = m["tf"] * -np.log(m["cnt"].to_numpy(np.float64) / total)
-        return m[["doc_id", "tf", "nll"]]
+        return g[["doc_id", "tf", "nll"]]
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -893,8 +815,8 @@ def unigram_logloss(
         )
 
     return (
-        combined.repartition(width, keys=["word"])
-        .map_batches(merge, batch_format="pandas", batch_size=None)
+        tf.repartition(width, keys=["word"])
+        .map_batches(nll_partial, batch_format="pandas", batch_size=None)
         .repartition(width, keys=["doc_id"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
     )
