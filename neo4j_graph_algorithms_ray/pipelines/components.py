@@ -366,7 +366,11 @@ def cc_pairs_dataset(
     """
     import ray.data as rd  # noqa: F401 — documents the return type
 
-    from ..state.partitioning import shuffle_width, source_size_bytes
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
     if width is None:
         width = shuffle_width(source_size_bytes(pairs))
@@ -430,9 +434,9 @@ def cc_pairs_dataset(
 
     edges = _truncate(pairs.map_batches(_both, batch_format="pyarrow"))
     labels = _truncate(
-        pairs.map_batches(_verts, batch_format="pyarrow")
-        .repartition(width, keys=["vid"])
-        .map_batches(_uniq_init, batch_format="pyarrow", batch_size=None)
+        keyed_repartition(
+            pairs.map_batches(_verts, batch_format="pyarrow"), width, ["vid"]
+        ).map_batches(_uniq_init, batch_format="pyarrow", batch_size=None)
     )
 
     def _lookup_rows(t: pa.Table) -> pa.Table:
@@ -490,15 +494,15 @@ def cc_pairs_dataset(
         )
 
     def _edge_round(L):
-        cand = (
-            L.map_batches(_lookup_rows, batch_format="pyarrow")
-            .union(edges)
-            .repartition(width, keys=["k"])
-            .map_batches(_edge_stage1, batch_format="pyarrow", batch_size=None)
-        )
+        cand = keyed_repartition(
+            L.map_batches(_lookup_rows, batch_format="pyarrow").union(edges),
+            width,
+            ["k"],
+        ).map_batches(_edge_stage1, batch_format="pyarrow", batch_size=None)
         L2 = _truncate(
-            cand.repartition(width, keys=["vid"])
-            .map_batches(_edge_stage2, batch_format="pyarrow", batch_size=None)
+            keyed_repartition(cand, width, ["vid"]).map_batches(
+                _edge_stage2, batch_format="pyarrow", batch_size=None
+            )
         )
         return L2, _changed_count(L2)
 
@@ -532,10 +536,13 @@ def cc_pairs_dataset(
 
     def _jump_round(L):
         L2 = _truncate(
-            L.map_batches(_lookup_rows, batch_format="pyarrow")
-            .union(L.map_batches(_req_rows, batch_format="pyarrow"))
-            .repartition(width, keys=["k"])
-            .map_batches(_jump_block, batch_format="pyarrow", batch_size=None)
+            keyed_repartition(
+                L.map_batches(_lookup_rows, batch_format="pyarrow").union(
+                    L.map_batches(_req_rows, batch_format="pyarrow")
+                ),
+                width,
+                ["k"],
+            ).map_batches(_jump_block, batch_format="pyarrow", batch_size=None)
         )
         return L2, _changed_count(L2)
 

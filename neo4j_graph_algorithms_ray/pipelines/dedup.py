@@ -28,7 +28,11 @@ from ..stages.minhash import (
     lsh_band_matrix,
 )
 from ..stages.text import sha256_hex
-from ..state.partitioning import shuffle_width, source_size_bytes
+from ..state.partitioning import (
+    keyed_repartition,
+    shuffle_width,
+    source_size_bytes,
+)
 
 
 def dedup_exact(
@@ -51,11 +55,11 @@ def dedup_exact(
         out.columns = ["doc_id", "dup_count"]
         return out.astype({"doc_id": "int64", "dup_count": "int64"})
 
-    return (
-        docs.map_batches(add_sha, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(docs)), keys=["sha"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        docs.map_batches(add_sha, batch_format="pandas"),
+        shuffle_width(source_size_bytes(docs)),
+        ["sha"],
+    ).map_batches(fold, batch_format="pandas", batch_size=None)
 
 
 _EMPTY_PAIRS_COLS = {"doc_a": pa.int64(), "doc_b": pa.int64(), "similarity": pa.float64()}
@@ -233,7 +237,7 @@ def _pairs_dataset_to_result(
         ].max()
 
     deduped = (
-        pairs_ds.repartition(shuffle_width(pairs_hint), keys=["doc_a"])
+        keyed_repartition(pairs_ds, shuffle_width(pairs_hint), ["doc_a"])
         .map_batches(fold, batch_format="pandas", batch_size=None)
         .materialize()  # consumed twice: CC projection + pairs view
     )
@@ -571,22 +575,23 @@ def minhash_lsh_neardup(
             {"doc_a": ckeys[keep], "doc_b": cdoc_b[keep], "similarity": est[keep]}
         )
 
-    candidates = (
-        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-        .repartition(band_width, keys=["band_hash"])
-        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
-    )
-    with_b = (
-        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
-        .union(sigs_ds.map_batches(sig_side, batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
-    )
-    verified = (
-        with_b.union(sigs_ds.map_batches(sig_side2, batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(score, batch_format="pyarrow", batch_size=None)
-    )
+    candidates = keyed_repartition(
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow"),
+        band_width,
+        ["band_hash"],
+    ).map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
+    with_b = keyed_repartition(
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow").union(
+            sigs_ds.map_batches(sig_side, batch_format="pyarrow")
+        ),
+        verify_width,
+        ["key"],
+    ).map_batches(attach_b, batch_format="pyarrow", batch_size=None)
+    verified = keyed_repartition(
+        with_b.union(sigs_ds.map_batches(sig_side2, batch_format="pyarrow")),
+        verify_width,
+        ["key"],
+    ).map_batches(score, batch_format="pyarrow", batch_size=None)
     return _pairs_dataset_to_result(verified, pairs_hint=24 * est_cand)
 
 
@@ -688,8 +693,8 @@ def simhash_neardup(
         sk = sk.materialize()
         pairs_df = ray.get(_scan_sketch_blocks.remote(bucket_pairs, *_block_refs(sk)))
         return _pairs_df_to_result(pairs_df)
-    cand = sk.repartition(
-        shuffle_width(source_size_bytes(docs)), keys=["band_hash"]
+    cand = keyed_repartition(
+        sk, shuffle_width(source_size_bytes(docs)), ["band_hash"]
     ).map_batches(bucket_pairs, batch_format="pandas", batch_size=None)
     return _pairs_dataset_to_result(cand, pairs_hint=source_size_bytes(docs))
 
@@ -785,9 +790,10 @@ def ngram_jaccard_pairs(
     # work is proportional to candidate-pair shingle volume (superlinear
     # in the doc bytes the hint would see) — a size hint collapses the
     # whole verify into one task on few-MB corpora
-    parts = (
-        docs.map_batches(shingle_rows, batch_format="pyarrow")
-        .repartition(shuffle_width(), keys=["home"])
+    parts = keyed_repartition(
+        docs.map_batches(shingle_rows, batch_format="pyarrow"),
+        shuffle_width(),
+        ["home"],
     )
 
     _SCORE_SCHEMA = pa.schema(
@@ -1008,12 +1014,13 @@ def _keep_canonical_distributed(
         )
         return m[_MEMBER_COLS].astype("int64")
 
-    members = (
-        docs.map_batches(docs_chars, batch_format="pandas")
-        .union(groups_ds.map_batches(grp_rows, batch_format="pandas"))
-        .repartition(width, keys=["doc_id"])
-        .map_batches(join_chars, batch_format="pandas", batch_size=None)
-    )
+    members = keyed_repartition(
+        docs.map_batches(docs_chars, batch_format="pandas").union(
+            groups_ds.map_batches(grp_rows, batch_format="pandas")
+        ),
+        width,
+        ["doc_id"],
+    ).map_batches(join_chars, batch_format="pandas", batch_size=None)
 
     _DEC_COLS = {"doc_id": "int64", "group_size": "int64", "drop": "int8"}
 
@@ -1036,7 +1043,7 @@ def _keep_canonical_distributed(
             }
         )
 
-    decisions = members.repartition(width, keys=["group_id"]).map_batches(
+    decisions = keyed_repartition(members, width, ["group_id"]).map_batches(
         select, batch_format="pandas", batch_size=None
     )
 
@@ -1065,12 +1072,11 @@ def _keep_canonical_distributed(
             {"doc_id": m["doc_id"].to_numpy(np.int64), "group_size": gs}
         )
 
-    return (
-        docs.map_batches(docs_ids, batch_format="pandas")
-        .union(decisions)
-        .repartition(width, keys=["doc_id"])
-        .map_batches(survivors, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        docs.map_batches(docs_ids, batch_format="pandas").union(decisions),
+        width,
+        ["doc_id"],
+    ).map_batches(survivors, batch_format="pandas", batch_size=None)
 
 
 def dedup_against(
@@ -1123,9 +1129,10 @@ def dedup_against(
         )
 
     width = shuffle_width(source_size_bytes(docs))
-    return (
-        docs.map_batches(project(0), batch_format="pandas")
-        .union(prior.map_batches(project(1), batch_format="pandas"))
-        .repartition(width, keys=["sha"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        docs.map_batches(project(0), batch_format="pandas").union(
+            prior.map_batches(project(1), batch_format="pandas")
+        ),
+        width,
+        ["sha"],
+    ).map_batches(fold, batch_format="pandas", batch_size=None)

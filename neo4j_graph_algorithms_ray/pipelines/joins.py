@@ -20,9 +20,20 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import keyed_repartition, shuffle_width, source_size_bytes
 
 _SIDE = "__asof_side"
+
+
+def _union_size_hint(left: "rd.Dataset", right: "rd.Dataset") -> int | None:
+    """Size hint for the tagged-union exchange: sum of both sides'
+    input bytes (None when neither side is read-rooted). Per-key fold
+    work is bounded by the by-key group size (users/sessions), so an
+    input-size width is the right shape for these joins."""
+    a, b = source_size_bytes(left), source_size_bytes(right)
+    if a is None and b is None:
+        return None
+    return (a or 0) + (b or 0)
 
 
 def _pd_dtype(ty: "pa.DataType") -> np.dtype:
@@ -156,9 +167,9 @@ def asof_join(
                 out[c] = out[c].astype(want)
         return out
 
-    return combined.repartition(width or shuffle_width(), keys=[by]).map_batches(
-        fold, batch_format="pyarrow", batch_size=None
-    )
+    return keyed_repartition(
+        combined, width or shuffle_width(_union_size_hint(left, right)), [by]
+    ).map_batches(fold, batch_format="pyarrow", batch_size=None)
 
 
 def interval_join(
@@ -264,8 +275,6 @@ def interval_join(
         keep = (pairs[on] >= pairs[start]) & (pairs[on] <= pairs[end])
         return pairs[keep][out_cols].reset_index(drop=True)
 
-    from ..state.partitioning import shuffle_width as _sw
-
-    return combined.repartition(width or _sw(), keys=[by]).map_batches(
-        fold, batch_format="pyarrow", batch_size=None
-    )
+    return keyed_repartition(
+        combined, width or shuffle_width(_union_size_hint(left, right)), [by]
+    ).map_batches(fold, batch_format="pyarrow", batch_size=None)

@@ -43,7 +43,7 @@ from ..state.checkpoint import (
     save_iteration,
 )
 from ..state.graph import GraphTables
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import keyed_repartition, shuffle_width
 
 
 @dataclass(frozen=True)
@@ -203,7 +203,7 @@ def label_propagation(
                 v = df.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
                 return _argmax_votes(v)
 
-            parts = parts.repartition(shuffle_width(), keys=["idx"]).map_batches(
+            parts = keyed_repartition(parts, shuffle_width(), ["idx"]).map_batches(
                 fold_argmax, batch_format="pandas", batch_size=None
             )
         chunks = [

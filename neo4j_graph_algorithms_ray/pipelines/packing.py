@@ -26,7 +26,7 @@ import ray
 import ray.data as rd
 
 from ..stages.text import token_count
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import keyed_repartition, shuffle_width, source_size_bytes
 
 
 def pack_sequences(
@@ -105,6 +105,8 @@ def pack_sequences(
             }
         )
 
-    return tok.repartition(shuffle_width(), keys=["bucket"]).map_batches(
-        offsets, batch_format="pyarrow", batch_size=None
-    )
+    # the shuffled token table is 24 B/doc — an input-bytes width is a
+    # generous upper bound, and small corpora fold in one block
+    return keyed_repartition(
+        tok, shuffle_width(source_size_bytes(docs)), ["bucket"]
+    ).map_batches(offsets, batch_format="pyarrow", batch_size=None)

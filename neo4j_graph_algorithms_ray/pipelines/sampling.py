@@ -90,7 +90,11 @@ def stratified_sample(
     the shuffle carries at most ``cap × blocks`` rows per stratum,
     never the corpus, and stratum skew is bounded by that same
     pre-aggregated ceiling."""
-    from ..state.partitioning import shuffle_width
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -111,11 +115,14 @@ def stratified_sample(
              stratum_col: df["stratum"]}
         ).reset_index(drop=True)
 
-    return (
-        docs.map_batches(partial, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["stratum"])
-        .map_batches(final, batch_format="pandas", batch_size=None)
-    )
+    # the shuffled partial table is cap-bounded per (stratum, block) —
+    # never larger than the input — so an input-bytes width is an
+    # upper bound and small corpora fold in one block
+    return keyed_repartition(
+        docs.map_batches(partial, batch_format="pandas"),
+        shuffle_width(source_size_bytes(docs)),
+        ["stratum"],
+    ).map_batches(final, batch_format="pandas", batch_size=None)
 
 
 def weighted_sample(

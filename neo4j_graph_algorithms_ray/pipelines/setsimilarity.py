@@ -28,7 +28,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import keyed_repartition, shuffle_width
 
 _PACK = np.uint64(1) << np.uint64(32)
 
@@ -173,10 +173,9 @@ def set_similarity_topk(
     # distinct (e, i) — block-level dedup, completed by the item shuffle
     # (a duplicate surviving across blocks lands in the same item block
     # and dies in the per-block np.unique below)
-    distinct = (
-        deduped.repartition(shuffle_width(), keys=["i"])
-        .materialize()  # read twice (sizes + pair fan-out) — shuffle once
-    )
+    distinct = keyed_repartition(
+        deduped, shuffle_width(), ["i"]
+    ).materialize()  # read twice (sizes + pair fan-out) — shuffle once
 
     # tagged union through the entity exchange: role 0/1 rows are the
     # a-/b-halves of a per-block partial pair count; role 2 rows are
@@ -244,7 +243,7 @@ def set_similarity_topk(
             }
         )
 
-    halves = tagged.repartition(shuffle_width(), keys=["e"]).map_batches(
+    halves = keyed_repartition(tagged, shuffle_width(), ["e"]).map_batches(
         attach_sizes, batch_format="pandas", batch_size=None
     )
 
@@ -277,7 +276,7 @@ def set_similarity_topk(
         keep = sim >= _cut
         return pd.DataFrame({"a": a[keep], "b": b[keep], "similarity": sim[keep]})
 
-    pairs = halves.repartition(shuffle_width(), keys=["pk"]).map_batches(
+    pairs = keyed_repartition(halves, shuffle_width(), ["pk"]).map_batches(
         score, batch_format="pandas", batch_size=None
     )
 
@@ -305,8 +304,8 @@ def set_similarity_topk(
             }
         )
 
-    return (
-        pairs.map_batches(both_dirs, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["a"])
-        .map_batches(head_topk, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        pairs.map_batches(both_dirs, batch_format="pandas"),
+        shuffle_width(),
+        ["a"],
+    ).map_batches(head_topk, batch_format="pandas", batch_size=None)

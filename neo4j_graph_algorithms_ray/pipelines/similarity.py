@@ -22,7 +22,11 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width, source_size_bytes
+from ..state.partitioning import (
+    keyed_repartition,
+    shuffle_width,
+    source_size_bytes,
+)
 
 
 def _to_matrix(batch, vec_col: str) -> np.ndarray:
@@ -904,22 +908,23 @@ def lsh_cosine_neardup(
             {"doc_a": ckeys[keep], "doc_b": cdoc_b[keep], "sim": sim[keep]}
         )
 
-    candidates = (
-        embeddings.map_batches(sketch, batch_format="pyarrow")
-        .repartition(width, keys=["bucket"])
-        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
-    )
-    with_b = (
-        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
-        .union(embeddings.map_batches(vec_rows, batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
-    )
-    return (
-        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(score, batch_format="pyarrow", batch_size=None)
-    )
+    candidates = keyed_repartition(
+        embeddings.map_batches(sketch, batch_format="pyarrow"),
+        width,
+        ["bucket"],
+    ).map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
+    with_b = keyed_repartition(
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow").union(
+            embeddings.map_batches(vec_rows, batch_format="pyarrow")
+        ),
+        verify_width,
+        ["key"],
+    ).map_batches(attach_b, batch_format="pyarrow", batch_size=None)
+    return keyed_repartition(
+        with_b.union(embeddings.map_batches(vec_rows2, batch_format="pyarrow")),
+        verify_width,
+        ["key"],
+    ).map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def lsh_metric_pairs(
@@ -1179,19 +1184,22 @@ def lsh_metric_pairs(
             {"vec_id_a": ckeys[keep], "vec_id_b": cdoc_b[keep], "score": s[keep]}
         )
 
-    candidates = (
-        embeddings.map_batches(sketch, batch_format="pyarrow")
-        .repartition(width, keys=["bucket"])
-        .map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
-    )
-    with_b = (
-        candidates.map_batches(cand_rows_b, batch_format="pyarrow")
-        .union(embeddings.map_batches(vec_rows("doc_a"), batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(attach_b, batch_format="pyarrow", batch_size=None)
-    )
-    return (
-        with_b.union(embeddings.map_batches(vec_rows("doc_b"), batch_format="pyarrow"))
-        .repartition(verify_width, keys=["key"])
-        .map_batches(score, batch_format="pyarrow", batch_size=None)
-    )
+    candidates = keyed_repartition(
+        embeddings.map_batches(sketch, batch_format="pyarrow"),
+        width,
+        ["bucket"],
+    ).map_batches(bucket_candidates, batch_format="pyarrow", batch_size=None)
+    with_b = keyed_repartition(
+        candidates.map_batches(cand_rows_b, batch_format="pyarrow").union(
+            embeddings.map_batches(vec_rows("doc_a"), batch_format="pyarrow")
+        ),
+        verify_width,
+        ["key"],
+    ).map_batches(attach_b, batch_format="pyarrow", batch_size=None)
+    return keyed_repartition(
+        with_b.union(
+            embeddings.map_batches(vec_rows("doc_b"), batch_format="pyarrow")
+        ),
+        verify_width,
+        ["key"],
+    ).map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -188,18 +188,22 @@ def top_ngrams(
         out.columns = ["ngram", "cnt"]
         return out.astype({"cnt": "int64"})
 
-    from ..state.partitioning import shuffle_width
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("ngram", as_index=False)["cnt"].sum().astype({"cnt": "int64"})
 
     # final sum via the house repartition+fold exchange — Ray's
     # groupby().sum() HashAggregate carries multi-second fixed overhead
-    agg = (
-        docs.map_batches(partial, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["ngram"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    agg = keyed_repartition(
+        docs.map_batches(partial, batch_format="pandas"),
+        shuffle_width(source_size_bytes(docs)),
+        ["ngram"],
+    ).map_batches(fold, batch_format="pandas", batch_size=None)
     return agg.sort(["cnt", "ngram"], descending=[True, False]).limit(k)
 
 
@@ -345,7 +349,11 @@ def clean_corpus(
     the filtered set.
     """
     from ..stages.text import sha256_hex
-    from ..state.partitioning import shuffle_width, source_size_bytes
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
     thr = float(quality_threshold)
 
@@ -378,11 +386,11 @@ def clean_corpus(
         out["dup_count"] = sizes[first].to_numpy(np.int64)
         return out.drop(columns=["sha"]).reset_index(drop=True)
 
-    return (
-        docs.map_batches(feature_filter, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(docs)), keys=["sha"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        docs.map_batches(feature_filter, batch_format="pandas"),
+        shuffle_width(source_size_bytes(docs)),
+        ["sha"],
+    ).map_batches(fold, batch_format="pandas", batch_size=None)
 
 
 def wrap_lines(
@@ -439,7 +447,11 @@ def line_dedup(
     Both exchanges carry the line table once — inherent to a global
     dedup (some shuffle must see every pair of equal lines).
     """
-    from ..state.partitioning import shuffle_width, source_size_bytes
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         lines = df[text_col].str.split("\n")
@@ -465,13 +477,21 @@ def line_dedup(
         )
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["line", "doc_id", "line_no"], kind="stable")
+        # sort by the int64 hash, not the string (equal lines share h,
+        # so within the frame order the first occurrence of each
+        # distinct line — duplicated() is order-respecting — is its
+        # (doc_id, line_no)-min); dropped lines ship an EMPTY string
+        # through the doc exchange (reassembly joins kept lines only,
+        # drops only need the flag), so exchange 2 carries string
+        # bytes ∝ surviving text, not corpus text
+        df = df.sort_values(["h", "doc_id", "line_no"], kind="stable")
+        keep = (~df["line"].duplicated()).to_numpy()
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].to_numpy(np.int64),
                 "line_no": df["line_no"].to_numpy(np.int64),
-                "line": df["line"].to_numpy(),
-                "keep": (~df["line"].duplicated()).to_numpy(),
+                "line": np.where(keep, df["line"].to_numpy(), ""),
+                "keep": keep,
             }
         )
 
@@ -502,12 +522,11 @@ def line_dedup(
         )
 
     width = shuffle_width(source_size_bytes(docs))
-    return (
-        docs.map_batches(explode, batch_format="pandas")
-        .repartition(width, keys=["h"])
-        .map_batches(mark, batch_format="pandas", batch_size=None)
-        .repartition(width, keys=["doc_id"])
-        .map_batches(reassemble, batch_format="pandas", batch_size=None)
+    marked = keyed_repartition(
+        docs.map_batches(explode, batch_format="pandas"), width, ["h"]
+    ).map_batches(mark, batch_format="pandas", batch_size=None)
+    return keyed_repartition(marked, width, ["doc_id"]).map_batches(
+        reassemble, batch_format="pandas", batch_size=None
     )
 
 
@@ -571,11 +590,17 @@ def tfidf_top_terms(
     word asc) total order is contained in the union of per-block
     top-ks — so the second exchange carries ≤ k·width rows per doc,
     not the doc's full vocabulary. N comes from parquet metadata
-    (count of a read-rooted plan), not an extra scan.
+    (count of a read-rooted plan), not an extra scan. Width is sized
+    from the input bytes (the exploded table is the same order of
+    magnitude as the text; post-shuffle work is linear).
     """
-    from ..state.partitioning import shuffle_width
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
-    width = shuffle_width()
+    width = shuffle_width(source_size_bytes(docs))
     n_docs = docs.count()
 
     tf = docs.map_batches(_tf_explode(id_col, text_col), batch_format="pandas")
@@ -624,11 +649,11 @@ def tfidf_top_terms(
         )
         return out.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
 
-    return (
-        tf.repartition(width, keys=["word"])
-        .map_batches(score_block, batch_format="pandas", batch_size=None)
-        .repartition(width, keys=["doc_id"])
-        .map_batches(topk, batch_format="pandas", batch_size=None)
+    scored = keyed_repartition(tf, width, ["word"]).map_batches(
+        score_block, batch_format="pandas", batch_size=None
+    )
+    return keyed_repartition(scored, width, ["doc_id"]).map_batches(
+        topk, batch_format="pandas", batch_size=None
     )
 
 
@@ -682,9 +707,12 @@ def source_profile(
     intake runs: ``(source, n_docs, n_langs, total_tokens, mean_tokens,
     mean_chars)``, means rounded half-away to 6 decimals. Map-side
     partials are pre-aggregated per (source, lang) — a tiny table at
-    any corpus size — then one keyed repartition folds exact sums; no
-    doc-level rows cross the exchange."""
-    from ..state.partitioning import shuffle_width
+    any corpus size — then one single-block fold of the partials; no
+    doc-level rows cross the exchange. The fold input is bounded by
+    #sources × #langs × #map-tasks rows regardless of corpus bytes, so
+    one block (not a per-CPU hash exchange) is the right width at any
+    scale."""
+    from ..state.partitioning import keyed_repartition
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = pd.DataFrame(
@@ -720,11 +748,9 @@ def source_profile(
             }
         ).reset_index(drop=True)
 
-    return (
-        docs.map_batches(partial, batch_format="pandas")
-        .repartition(shuffle_width(), keys=["source"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        docs.map_batches(partial, batch_format="pandas"), 1, ["source"]
+    ).map_batches(fold, batch_format="pandas", batch_size=None)
 
 
 def unigram_logloss(
@@ -750,9 +776,13 @@ def unigram_logloss(
     × width), not O(doc vocabulary) — and one exchange on doc_id folds
     the per-doc average.
     """
-    from ..state.partitioning import shuffle_width
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
-    width = shuffle_width()
+    width = shuffle_width(source_size_bytes(docs))
     # total corpus words: pre-aggregated per batch, folded as a scalar
     total = float(
         sum(
@@ -814,9 +844,9 @@ def unigram_logloss(
             }
         )
 
-    return (
-        tf.repartition(width, keys=["word"])
-        .map_batches(nll_partial, batch_format="pandas", batch_size=None)
-        .repartition(width, keys=["doc_id"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
+    partials = keyed_repartition(tf, width, ["word"]).map_batches(
+        nll_partial, batch_format="pandas", batch_size=None
+    )
+    return keyed_repartition(partials, width, ["doc_id"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
     )

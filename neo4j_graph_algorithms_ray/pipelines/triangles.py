@@ -287,11 +287,13 @@ def canonical_edges_ds(graph: GraphTables) -> "rd.Dataset":
             }
         )
 
-    return (
-        graph.edges.map_batches(canon, batch_format="pyarrow", batch_size=None)
-        .repartition(shuffle_width(), keys=["k"])
-        .map_batches(uniq, batch_format="pyarrow", batch_size=None)
-    )
+    from ..state.partitioning import keyed_repartition, source_size_bytes
+
+    return keyed_repartition(
+        graph.edges.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        shuffle_width(source_size_bytes(graph.edges)),
+        ["k"],
+    ).map_batches(uniq, batch_format="pyarrow", batch_size=None)
 
 
 def triangle_count_bucketed(graph: GraphTables) -> TriangleResult:
@@ -341,11 +343,13 @@ def triangle_count_bucketed(graph: GraphTables) -> TriangleResult:
         b = np.where(swap, u, v)
         return pa.table({"a": a, "b": b})
 
-    oriented = (
-        canon.map_batches(orient, batch_format="pyarrow", batch_size=None)
-        .repartition(shuffle_width(), keys=["a"])
-        .materialize()  # consumed twice: wedge fan-out + closing markers
-    )
+    from ..state.partitioning import keyed_repartition
+
+    oriented = keyed_repartition(
+        canon.map_batches(orient, batch_format="pyarrow", batch_size=None),
+        shuffle_width(),
+        ["a"],
+    ).materialize()  # consumed twice: wedge fan-out + closing markers
 
     def wedges(batch: pa.Table) -> pa.Table:
         dg = ray.get(deg_ref)
@@ -405,7 +409,7 @@ def triangle_count_bucketed(graph: GraphTables) -> TriangleResult:
         return pa.table({"idx": idx, "val": cnt})
 
     tri = scatter_combine(
-        wedge_ds.union(markers).repartition(shuffle_width(), keys=["wk"]),
+        keyed_repartition(wedge_ds.union(markers), shuffle_width(), ["wk"]),
         match_partial,
         n,
         op="sum",

@@ -387,9 +387,13 @@ def skipgram_pairs(
     PRE-AGGREGATES counts, so the final width-bounded hash aggregate
     sees one row per distinct pair per block — never one per
     occurrence."""
-    from ..state.partitioning import shuffle_width
+    from ..state.partitioning import (
+        keyed_repartition,
+        shuffle_width,
+        source_size_bytes,
+    )
 
-    width = shuffle_width()
+    width = shuffle_width(source_size_bytes(walks))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -429,9 +433,9 @@ def skipgram_pairs(
     # final sum via repartition+fold on center (co-locates every
     # (center, context) pair) — avoids Ray groupby's HashAggregate
     # fixed overhead
-    return (
-        walks.repartition(width, keys=["walk_id"])
-        .map_batches(pairs, batch_format="pandas", batch_size=None)
-        .repartition(width, keys=["center"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
+    per_block = keyed_repartition(walks, width, ["walk_id"]).map_batches(
+        pairs, batch_format="pandas", batch_size=None
+    )
+    return keyed_repartition(per_block, width, ["center"]).map_batches(
+        fold, batch_format="pandas", batch_size=None
     )

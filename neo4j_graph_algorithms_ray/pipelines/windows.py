@@ -14,7 +14,11 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width, source_size_bytes
+from ..state.partitioning import (
+    keyed_repartition,
+    shuffle_width,
+    source_size_bytes,
+)
 
 
 def tumbling_window(
@@ -35,11 +39,11 @@ def tumbling_window(
         out.columns = ["user_id", "window_start", "n_events", "sum_value"]
         return out.astype({"user_id": "int64", "n_events": "int64"})
 
-    return (
-        events.map_batches(part, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
-        .map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
-    )
+    return keyed_repartition(
+        events.map_batches(part, batch_format="pandas"),
+        shuffle_width(source_size_bytes(events)),
+        ["user_id"],
+    ).map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
 
 
 def _window_fold(t: "pa.Table") -> "pa.Table":
@@ -95,11 +99,11 @@ def hopping_window(
         g = allw.groupby(["user_id", "window_start"], sort=False, as_index=False)
         return g.agg(n_events=("n", "sum"), sum_value=("v", "sum"))
 
-    return (
-        events.map_batches(part, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(events)), keys=["user_id"])
-        .map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
-    )
+    return keyed_repartition(
+        events.map_batches(part, batch_format="pandas"),
+        shuffle_width(source_size_bytes(events)),
+        ["user_id"],
+    ).map_batches(_window_fold, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(
@@ -135,11 +139,9 @@ def sessionize(
         out["session_id"] = out.groupby("user_id", sort=False).cumcount().astype(np.int64)
         return out
 
-    return events.repartition(
-        shuffle_width(source_size_bytes(events)), keys=[user_col]
-    ).map_batches(
-        per_user, batch_format="pandas", batch_size=None
-    )
+    return keyed_repartition(
+        events, shuffle_width(source_size_bytes(events)), [user_col]
+    ).map_batches(per_user, batch_format="pandas", batch_size=None)
 
 
 def funnel(
@@ -230,8 +232,8 @@ def funnel(
             }
         )
 
-    return (
-        events.map_batches(project, batch_format="pandas")
-        .repartition(shuffle_width(source_size_bytes(events)), keys=["u"])
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-    )
+    return keyed_repartition(
+        events.map_batches(project, batch_format="pandas"),
+        shuffle_width(source_size_bytes(events)),
+        ["u"],
+    ).map_batches(fold, batch_format="pandas", batch_size=None)

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..state.partitioning import shuffle_width, source_size_bytes
+from ..state.partitioning import keyed_repartition, shuffle_width, source_size_bytes
 
 _LANG_BY_EXT = {
     "c": "c",
@@ -266,7 +266,7 @@ def derive_repo_links(
         uniq, counts = np.unique(packed, return_counts=True)
         return pd.DataFrame({"pk": uniq, "weight": counts.astype(np.float64)})
 
-    parted = links.repartition(shuffle_width(), keys=["key"])  # needs HASH_SHUFFLE (pkg init)
+    parted = keyed_repartition(links, shuffle_width(), ["key"])  # needs HASH_SHUFFLE (pkg init)
     partials = parted.map_batches(block_pairs, batch_format="pandas", batch_size=None)
 
     # final fold: hash-partition partials by (src,dst) so each edge lands
@@ -288,7 +288,7 @@ def derive_repo_links(
         )
 
     edges = (
-        partials.repartition(shuffle_width(), keys=["pk"])
+        keyed_repartition(partials, shuffle_width(), ["pk"])
         .map_batches(fold_edges, batch_format="pandas", batch_size=None)
         .materialize()
     )
@@ -351,8 +351,11 @@ def verify_sha_invariant(corpus: "rd.Dataset", files: "rd.Dataset") -> dict:
         )
 
     folded = (
-        lhs.union(rhs)
-        .repartition(shuffle_width(source_size_bytes(files)), keys=["repo", "path"])
+        keyed_repartition(
+            lhs.union(rhs),
+            shuffle_width(source_size_bytes(files)),
+            ["repo", "path"],
+        )
         .map_batches(count_matches, batch_format="pandas", batch_size=None)
         .to_pandas()
     )

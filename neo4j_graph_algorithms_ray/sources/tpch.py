@@ -34,7 +34,7 @@ import ray
 import ray.data as rd
 
 from ..state.graph import GraphTables
-from ..state.partitioning import shuffle_width
+from ..state.partitioning import keyed_repartition, shuffle_width
 
 _CACHE: dict = {}
 
@@ -154,7 +154,7 @@ def co_supplier_edges(sf_dir: str) -> pa.Table:
         return df2.drop_duplicates()
 
     # hash-partition by customer so each customer's supplier set is complete
-    pair_ds = bip.repartition(shuffle_width(), keys=["src"]).map_batches(
+    pair_ds = keyed_repartition(bip, shuffle_width(), ["src"]).map_batches(
         pairs, batch_format="pandas", batch_size=None
     )
     t = _distinct_pairs(pair_ds, "u", "v")

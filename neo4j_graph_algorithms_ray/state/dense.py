@@ -138,7 +138,9 @@ def _combine_shuffle(parts, n: int, op: str, out: np.ndarray, num_partitions: in
 
         return df.groupby("idx", sort=False, as_index=False)["val"].agg(pd_op)
 
-    small = parts.repartition(num_partitions, keys=["idx"]).map_batches(
+    from .partitioning import keyed_repartition
+
+    small = keyed_repartition(parts, num_partitions, ["idx"]).map_batches(
         fold, batch_format="pandas", batch_size=None
     )
     return _combine_driver(small, n, op, out)

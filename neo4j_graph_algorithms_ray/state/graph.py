@@ -131,7 +131,7 @@ def _dedup_dense_edges(dense: "rd.Dataset", *, strategy: str) -> "rd.Dataset":
     HashAggregate has multi-second fixed overhead (see
     ``sources/corpus.py``); this is the repo's standard
     repartition+fold exchange."""
-    from .partitioning import shuffle_width
+    from .partitioning import keyed_repartition, shuffle_width, source_size_bytes
 
     partial = dense.map_batches(
         _partial_combine_batch,
@@ -145,7 +145,9 @@ def _dedup_dense_edges(dense: "rd.Dataset", *, strategy: str) -> "rd.Dataset":
         final = "max"
     else:  # min / skip (and the unweighted no-w distinct case)
         final = "min"
-    return partial.repartition(shuffle_width(), keys=["si"]).map_batches(
+    return keyed_repartition(
+        partial, shuffle_width(source_size_bytes(dense)), ["si"]
+    ).map_batches(
         _partial_combine_batch,
         batch_format="pyarrow",
         batch_size=None,
