@@ -203,9 +203,11 @@ def label_propagation(
                 v = df.groupby(["idx", "lab"], sort=False, as_index=False)["w"].sum()
                 return _argmax_votes(v)
 
-            parts = keyed_repartition(parts, shuffle_width(), ["idx"]).map_batches(
-                fold_argmax, batch_format="pandas", batch_size=None
-            )
+            from ..state.partitioning import source_size_bytes
+
+            parts = keyed_repartition(
+                parts, shuffle_width(source_size_bytes(parts)), ["idx"]
+            ).map_batches(fold_argmax, batch_format="pandas", batch_size=None)
         chunks = [
             b.to_pandas()
             for b in parts.iter_batches(batch_format="pyarrow", batch_size=None)

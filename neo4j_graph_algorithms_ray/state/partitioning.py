@@ -65,40 +65,60 @@ def keyed_repartition(ds, width: int, keys):
     return ds.repartition(width, keys=list(keys))
 
 
+def _leaf_size_bytes(op) -> int | None:
+    """Size one LEAF logical operator knows about without execution:
+    RefBundle footprints for in-memory leaves (from_pandas /
+    from_arrow(_refs) / materialized InputData), the datasource's
+    in-memory estimate for Read leaves."""
+    data = getattr(op, "input_data", None)
+    if data:
+        try:
+            return int(sum(b.size_bytes() for b in data))
+        except Exception:
+            return None
+    src = getattr(op, "_datasource", None)
+    if src is not None:
+        try:
+            est = src.estimate_inmemory_data_size()
+            return int(est) if est else None
+        except Exception:
+            return None
+    return None
+
+
 def source_size_bytes(ds) -> int | None:
     """Best-effort *input* size of a Dataset without executing its plan.
 
-    Sums the on-disk sizes of the plan's input files (metadata-only;
-    works for read-rooted plans even under lazy transforms) and scales
-    by a nominal 4x parquet-decompression factor. Returns None when the
-    plan has no file inputs (e.g. from_pandas) — callers fall back to
-    the CPU-floor shuffle width.
+    Walks the LOGICAL plan to its leaves and sums what each leaf knows:
+    the parquet datasource's in-memory estimate for Read leaves (this
+    survives map_batches / filter / union lineage, which
+    ``ds.input_files()`` does not), RefBundle sizes for in-memory
+    leaves (from_pandas / from_arrow_refs / materialized datasets).
+    Returns None when no leaf knows its size — callers fall back to the
+    CPU-floor shuffle width. Private-plan access is fully guarded: on
+    any Ray-internals change this degrades to None, never raises.
     """
     try:
-        files = ds.input_files()
+        stack = [ds._plan._logical_plan.dag]
     except Exception:
-        files = None
-    if files:
-        total = 0
-        for f in files:
-            try:
-                total += os.path.getsize(f)
-            except OSError:
-                total = 0
-                break
-        if total > 0:
-            return total * 4
-    # materialized datasets know their object-store footprint without
-    # executing anything — without this, every in-memory pipeline fell
-    # back to the CPU-floor width (32 hash-shuffle aggregator actors
-    # per exchange on a few-MB table is pure spin-up overhead)
-    try:
-        from ray.data.dataset import MaterializedDataset
-
-        if isinstance(ds, MaterializedDataset):
-            sz = ds.size_bytes()
-            if sz:
-                return int(sz)
-    except Exception:
-        pass
-    return None
+        return None
+    total = 0
+    known = False
+    seen: set[int] = set()
+    while stack:
+        op = stack.pop()
+        if id(op) in seen:
+            continue
+        seen.add(id(op))
+        try:
+            deps = op.input_dependencies
+        except Exception:
+            deps = None
+        if deps:
+            stack.extend(deps)
+            continue
+        sz = _leaf_size_bytes(op)
+        if sz:
+            total += sz
+            known = True
+    return total if known and total > 0 else None
