@@ -884,6 +884,50 @@ def _q_yens_paths(sf_dir: str) -> pd.DataFrame:
     return t
 
 
+def _q_astar_cost(sf_dir: str) -> pa.Table:
+    """A* single-pair cost (reference [later-branch]
+    ``algo.shortestPath.astar``) between the same endpoint pair as
+    yens_k_shortest, h=0 (no coordinate data on the corpus graph) so
+    the optimal cost is oracle-checkable by the bounded recursive walk;
+    tests exercise a real consistent heuristic (pruning asserted)."""
+    from neo4j_graph_algorithms_ray.pipelines.walks import astar_path
+
+    g = _graph(sf_dir, "weighted_bipartite")
+    vids = np.sort(g.vids)
+    s, t = int(vids[0]), int(vids[-1])
+    res = astar_path(g, s, t, heuristic=None, directed=False)
+    if res["found"] and res["total_cost"] <= 30.0:
+        return pa.table(
+            {
+                "source": pa.array([s], pa.int64()),
+                "target": pa.array([t], pa.int64()),
+                "total_cost": pa.array([round(res["total_cost"], 6)], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "source": pa.array([], pa.int64()),
+            "target": pa.array([], pa.int64()),
+            "total_cost": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _q_personalized_pagerank(sf_dir: str) -> pa.Table:
+    """Personalized PageRank (reference [later-branch] sourceNodes
+    parameter of algo.pageRank) — teleport restricted to the 4 smallest
+    vids, 5 fixed rounds, unrolled-SQL oracle like pagerank_k5."""
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import (
+        PageRankConfig,
+        personalized_pagerank,
+    )
+
+    g = _graph(sf_dir, "bipartite")
+    sources = np.sort(g.vids)[:4]
+    res = personalized_pagerank(g, sources, PageRankConfig(fixed_iterations=5))
+    return pa.table({"vid": g.vids, "rank": np.round(res.ranks, 6)})
+
+
 def _q_doc_sha256(sf_dir: str) -> Any:
     """Per-row content sha256 — the north-rule invariant surfaced as an
     oracle-checked query (DuckDB recomputes sha256 independently)."""
@@ -1150,6 +1194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "yens_k_shortest": _q_yens_paths,
+        "astar_cost": _q_astar_cost,
+        "personalized_pagerank_k5": _q_personalized_pagerank,
         "delta_stepping_sssp": _q_delta_stepping,
         # training-data operators
         "dedup_exact": _q_dedup_exact,
@@ -1328,6 +1374,34 @@ def _pagerank_cte(k: int) -> str:
   FROM vertices v LEFT JOIN (
     SELECT e.dst AS vid, SUM(r.rank / d.od) AS c
     FROM r{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _ppr_cte(k: int, n_sources: int = 4) -> str:
+    """Unrolled personalized-PageRank rounds: identical to
+    _pagerank_cte except the 0.15 teleport is gated on membership in
+    the n_sources smallest vids (the query's source set)."""
+    tele = (
+        "(CASE WHEN v.vid IN (SELECT vid FROM srcs) "
+        "THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END)"
+    )
+    parts = [
+        "deg AS (SELECT src AS vid, COUNT(*) AS od FROM edges GROUP BY src)",
+        f"srcs AS (SELECT vid FROM vertices ORDER BY vid LIMIT {n_sources})",
+        f"p0 AS (SELECT vid, CASE WHEN vid IN (SELECT vid FROM srcs) "
+        f"THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END AS rank FROM vertices)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT v.vid, {tele} + 0.85::DOUBLE * COALESCE(s.c, 0::DOUBLE) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(r.rank / d.od) AS c
+    FROM p{i-1} r JOIN deg d ON d.vid = r.vid JOIN edges e ON e.src = r.vid
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 )"""
@@ -2309,6 +2383,8 @@ JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "pagerank_k5": f"WITH {_E_BIP}, {_pagerank_cte(5)} SELECT vid, ROUND(rank, 6) AS rank FROM r5",
+        "personalized_pagerank_k5": f"WITH {_E_BIP}, {_ppr_cte(5)} "
+        "SELECT vid, ROUND(rank, 6) AS rank FROM p5",
         "top_pagerank_10": f"WITH {_E_BIP}, {_pagerank_cte(5)} "
         "SELECT vid, ROUND(rank, 6) AS rank FROM r5 "
         "ORDER BY ROUND(rank, 6) DESC, vid LIMIT 10",
@@ -2847,6 +2923,18 @@ JOIN und e2 ON e2.u = e1.v
 JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v""",
         "betweenness_sampled": _betweenness_sql(levels=8),
         "yens_k_shortest": _yens_sql(),
+        "astar_cost": f"""WITH RECURSIVE {_E_WBIP},
+und AS (SELECT src AS a, dst AS b, weight FROM edges
+        UNION ALL SELECT dst, src, weight FROM edges),
+walk AS (
+  SELECT (SELECT MIN(vid) FROM vertices) AS v, 0.0::DOUBLE AS d
+  UNION
+  SELECT u.b, walk.d + u.weight FROM walk JOIN und u ON u.a = walk.v
+  WHERE walk.d + u.weight <= 30
+)
+SELECT (SELECT MIN(vid) FROM vertices) AS source, v AS target,
+       ROUND(MIN(d), 6) AS total_cost
+FROM walk WHERE v = (SELECT MAX(vid) FROM vertices) GROUP BY v""",
         "random_walks": _random_walks_sql(),
         "skipgram_pairs": f"""WITH wk AS (
   SELECT * FROM ({_random_walks_sql()}) t

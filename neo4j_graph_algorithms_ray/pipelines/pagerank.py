@@ -313,6 +313,65 @@ def article_rank(
     )
 
 
+def personalized_pagerank(
+    graph: GraphTables,
+    source_vids: np.ndarray,
+    config: PageRankConfig = PageRankConfig(),
+) -> PageRankResult:
+    """Personalized PageRank (reference [later-branch] ``sourceNodes``
+    parameter of ``algo.pageRank``, ``algo/.../PageRankProc.java`` 3.4+
+    with the personalized variant of ``impl/pagerank/``): teleport mass
+    lands only on the source set S —
+
+        rank_0[v]   = (1-d) * 1[v in S]
+        rank_k+1[v] = (1-d) * 1[v in S] + d * sum_{u->v} rank_k[u]/outDeg(u)
+
+    Unnormalized like the base kernel (reference semantics); vertices
+    unreachable from S converge to 0. Same stateful shard-pool rounds
+    as :func:`pagerank`'s actor engine — only the teleport vector
+    differs, so scale behavior is identical."""
+    n = graph.n
+    d = config.damping
+    alpha = 1.0 - d
+    source_vids = np.asarray(source_vids, dtype=np.int64)
+    pos = np.searchsorted(graph.vids, source_vids)
+    ok = (pos < n) & (graph.vids[np.minimum(pos, max(n - 1, 0))] == source_vids)
+    if not ok.all():
+        raise KeyError(f"source vids not in graph: {source_vids[~ok]}")
+    sg = graph.sharded()
+    deg = sg.degree("out", weighted=config.weighted)
+    with np.errstate(divide="ignore"):
+        inv = np.where(deg > 0, 1.0 / deg, 0.0)
+    teleport = np.zeros(n, dtype=np.float64)
+    teleport[pos] = alpha
+    ranks = teleport.copy()
+    it, delta, converged = 0, float("inf"), False
+    max_iters = (
+        config.fixed_iterations
+        if config.fixed_iterations is not None
+        else config.max_iterations
+    )
+    t0 = time.perf_counter()
+    while it < max_iters:
+        new = teleport + d * sg.scatter_sum(ranks, mul=inv, weighted=config.weighted)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        it += 1
+        if config.fixed_iterations is None and delta < config.tolerance:
+            converged = True
+            break
+    return PageRankResult(
+        ranks=ranks,
+        iterations=it,
+        converged=converged,
+        delta=delta,
+        metrics={
+            "total_seconds": time.perf_counter() - t0,
+            "sources": int(len(source_vids)),
+        },
+    )
+
+
 def eigenvector_centrality(
     graph: GraphTables,
     tolerance: float = 1e-8,

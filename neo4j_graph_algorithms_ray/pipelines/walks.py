@@ -307,6 +307,82 @@ def _dijkstra_masked(
     return float(total), path
 
 
+def astar_path(
+    graph: GraphTables,
+    start_vid: int,
+    end_vid: int,
+    heuristic: np.ndarray | None = None,
+    directed: bool = True,
+) -> dict:
+    """A* single-pair shortest path (reference [later-branch]
+    ``algo.shortestPath.astar``, ``algo/.../impl/ShortestPathAStar.java``
+    3.4+ — there hard-wired to a haversine heuristic over lat/lon node
+    properties). Generalized to any per-dense-id heuristic vector ``h``
+    (admissible + consistent => optimal path; ``h=None`` means h=0,
+    which degenerates to Dijkstra — the default, since the corpus graph
+    carries no coordinates). Single-pair search is inherently sequential
+    (the reference, too, runs it single-threaded per call; SURVEY §2.5
+    P1 note) so this is a small-graph kernel in one process over the
+    CSR pulled once from the edge Dataset. Deterministic: heap pops on
+    (f, dense-id), relaxations only on strict improvement in CSR order.
+
+    Returns ``{found, total_cost, path (original vids), expanded}`` —
+    ``expanded`` (settled-vertex count) is the knob tests use to verify
+    a consistent heuristic actually prunes the search."""
+    indptr, nbrs, w = _csr(graph, directed=directed)
+    vids = graph.vids
+    n = graph.n
+    s = int(np.searchsorted(vids, start_vid))
+    t = int(np.searchsorted(vids, end_vid))
+    if s >= n or vids[s] != start_vid:
+        raise KeyError(f"start vid {start_vid} not in graph")
+    if t >= n or vids[t] != end_vid:
+        raise KeyError(f"end vid {end_vid} not in graph")
+    h = (
+        np.zeros(n, dtype=np.float64)
+        if heuristic is None
+        else np.asarray(heuristic, dtype=np.float64)
+    )
+    dist = np.full(n, np.inf)
+    dist[s] = 0.0
+    parent = np.full(n, -1, np.int64)
+    heap = [(float(h[s]), s)]
+    done = np.zeros(n, dtype=bool)
+    expanded = 0
+    while heap:
+        _, u = heapq.heappop(heap)
+        if done[u]:
+            continue
+        done[u] = True
+        expanded += 1
+        if u == t:
+            break
+        du = dist[u]
+        for pos in range(indptr[u], indptr[u + 1]):
+            v = nbrs[pos]
+            cand = du + w[pos]
+            if cand < dist[v]:
+                dist[v] = cand
+                parent[v] = u
+                heapq.heappush(heap, (float(cand + h[v]), int(v)))
+    if not np.isfinite(dist[t]):
+        return {
+            "found": False,
+            "total_cost": float("inf"),
+            "path": [],
+            "expanded": expanded,
+        }
+    rev = [t]
+    while rev[-1] != s:
+        rev.append(int(parent[rev[-1]]))
+    return {
+        "found": True,
+        "total_cost": float(dist[t]),
+        "path": [int(vids[p]) for p in reversed(rev)],
+        "expanded": expanded,
+    }
+
+
 def yens_k_shortest_paths(
     graph: GraphTables, start_vid: int, end_vid: int, k: int, directed: bool = True
 ) -> pd.DataFrame:
