@@ -16,6 +16,14 @@ MinHash-LSH → WCC → canonical-selection composite, and asserts:
   already returns, as numpy/pandas int columns).
 
 Usage: python tools/keep_canonical_scale_run.py [docs_thousands=1000]
+       [base_words=60]
+
+``base_words`` scales the per-doc text volume (base text = base_words
+words x3 reps); the dup structure, selection semantics and the
+RSS-flatness claim are independent of it — the 10M-doc run uses a
+slimmer text so the sha/minhash byte volume fits the sandbox's
+degraded-CPU wall-clock, while membership/exchange row counts (what
+the driver-RSS claim is about) still scale with the full doc count.
 """
 
 from __future__ import annotations
@@ -41,7 +49,7 @@ _WORDS = np.array([f"w{i:04x}" for i in range(65536)], dtype=object)
 GROUP = 3  # planted near-dup group size
 
 
-def gen_block(block_id: int, docs_per_block: int) -> pd.DataFrame:
+def gen_block(block_id: int, docs_per_block: int, base_words: int = 60) -> pd.DataFrame:
     """Docs [block*dpb, (block+1)*dpb): ids with (id//GROUP) % 2 == 0
     form near-dup groups of GROUP (same base text + ' pad'*k suffix so
     lengths differ and the canonical pick is the k=GROUP-1 member);
@@ -58,13 +66,14 @@ def gen_block(block_id: int, docs_per_block: int) -> pd.DataFrame:
         k = d % GROUP
         if base_id % 2 == 0:  # near-dup group
             if k == 0 or base_text is None:
-                base_text = " ".join(rng.choice(_WORDS, size=60)) * 3
+                base_text = " ".join(rng.choice(_WORDS, size=base_words)) * 3
             texts.append(base_text + " pad" * int(k))
         else:  # singleton: unique text
+            half = max(base_words * 2 // 3, 8)
             texts.append(
-                " ".join(rng.choice(_WORDS, size=40))
+                " ".join(rng.choice(_WORDS, size=half))
                 + f" unique-{d} "
-                + " ".join(rng.choice(_WORDS, size=40))
+                + " ".join(rng.choice(_WORDS, size=half))
             )
     return pd.DataFrame({"doc_id": ids, "text": texts})
 
@@ -74,6 +83,7 @@ def main() -> None:
     import ray.data as rd
 
     docs_k = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    base_words = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     n_docs = docs_k * 1000
     dpb = 6000  # GROUP divides this
     n_blocks = (n_docs + dpb - 1) // dpb
@@ -88,7 +98,8 @@ def main() -> None:
 
     docs = rd.range(n_blocks).map_batches(
         lambda df: pd.concat(
-            [gen_block(int(b), dpb) for b in df["id"]], ignore_index=True
+            [gen_block(int(b), dpb, base_words) for b in df["id"]],
+            ignore_index=True
         ),
         batch_format="pandas",
         batch_size=4,
@@ -122,6 +133,7 @@ def main() -> None:
     result = {
         "metric": "dedup_keep_canonical_distributed_scale",
         "docs": n_docs,
+        "base_words": base_words,
         "dup_membership": n_groups * GROUP,
         "survivors": n_surv,
         "survivors_expected": expect_surv,
