@@ -218,6 +218,16 @@ def _q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return dedup_exact(_docs(sf_dir)).to_pandas()
 
 
+def _q_chunk_documents(sf_dir: str) -> Any:
+    """Fixed-token-window chunking with overlap (context-window prep;
+    chunk text re-joined with single spaces — semantics pinned in
+    pipelines/text_analysis.chunk_documents, recomputed by the SQL
+    oracle's zipped-UNNEST + windowed STRING_AGG)."""
+    from neo4j_graph_algorithms_ray.pipelines.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(sf_dir), chunk_tokens=24, overlap=6)
+
+
 def _q_token_stats(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.text_analysis import token_stats
 
@@ -1205,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "euclidean_pairs": _q_euclidean_pairs,
         "pearson_pairs": _q_pearson_pairs,
         "token_stats": _q_token_stats,
+        "chunk_documents": _q_chunk_documents,
         "lang_counts": _q_lang_counts,
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
@@ -2589,6 +2600,27 @@ FROM member GROUP BY vid""",
   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
 FROM documents""",
         "lang_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+        # chunk_tokens=24, overlap=6 -> stride 18; chunk j covers token
+        # positions [j*18, j*18+24); chunks emitted until one reaches
+        # the doc end; whitespace-run tokenization, single-space rejoin
+        "chunk_documents": r"""WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(text, '\S+')) AS tok,
+         UNNEST(range(length(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), n AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS nt FROM toks GROUP BY doc_id
+), js AS (
+  SELECT doc_id,
+         UNNEST(range(1 + CAST(CEIL(GREATEST(nt - 24, 0) / 18.0) AS BIGINT))) AS j
+  FROM n
+)
+SELECT t.doc_id, js.j AS chunk_id,
+       STRING_AGG(t.tok, ' ' ORDER BY t.pos) AS text,
+       COUNT(*)::BIGINT AS n_tokens
+FROM js JOIN toks t ON t.doc_id = js.doc_id
+   AND t.pos >= js.j * 18 AND t.pos < js.j * 18 + 24
+GROUP BY t.doc_id, js.j""",
         "repetition_stats": """WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ), pos AS (

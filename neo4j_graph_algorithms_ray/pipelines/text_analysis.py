@@ -32,6 +32,93 @@ def token_stats(docs: "rd.Dataset", id_col="doc_id", text_col="text") -> "rd.Dat
     return docs.map_batches(f, batch_format="pandas")
 
 
+def chunk_documents(
+    docs: "rd.Dataset",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """(doc_id, chunk_id, text, n_tokens): split each document into
+    whitespace-token chunks of ``chunk_tokens`` with ``overlap`` tokens
+    of left context repeated between consecutive chunks — the
+    context-window prep step upstream of sequence packing. Chunk j
+    covers token positions [j*stride, j*stride + chunk_tokens), stride
+    = chunk_tokens - overlap; chunks are emitted until one reaches the
+    end of the document (the final chunk may be short; no redundant
+    fully-contained trailing chunk; empty docs produce no rows).
+    Chunk text re-joins tokens with a single space — the pinned,
+    SQL-reproducible semantics (original inter-token whitespace is not
+    preserved; the oracle recomputes every chunk with the same rule).
+
+    Embarrassingly parallel: one ``map_batches``, no shuffle; each
+    token is replicated to at most ceil(chunk_tokens/stride) chunks
+    via one vectorized repeat/filter — no per-chunk Python slicing."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": np.empty(0, np.int64),
+                "chunk_id": np.empty(0, np.int64),
+                "text": pd.Series([], dtype=object),
+                "n_tokens": np.empty(0, np.int64),
+            }
+        )
+        if not len(df):
+            return empty
+        toks = df[text_col].str.split()
+        nt = toks.map(len).to_numpy(np.int64)
+        total = int(nt.sum())
+        if total == 0:
+            return empty
+        doc_ids = df[id_col].to_numpy(np.int64)
+        # chunks per doc: emit until a chunk reaches the end
+        nch = np.where(
+            nt > 0,
+            1 + (np.maximum(nt - chunk_tokens, 0) + stride - 1) // stride,
+            0,
+        )
+        flat = toks.explode()
+        flat = flat[flat.notna()]  # explode of an empty token list -> NaN row
+        tok_vals = flat.to_numpy()
+        ridx = np.repeat(np.arange(len(df)), nt)  # doc row per token
+        starts = np.cumsum(nt) - nt
+        pos = np.arange(total) - np.repeat(starts, nt)  # token pos in doc
+        # chunk-id range [j_lo, j_hi] each token lands in
+        j_hi = np.minimum(pos // stride, nch[ridx] - 1)
+        j_lo = np.maximum((pos - chunk_tokens) // stride + 1, 0)
+        reps = j_hi - j_lo + 1
+        out_n = int(reps.sum())
+        tok_row = np.repeat(np.arange(total), reps)
+        k = np.arange(out_n) - np.repeat(np.cumsum(reps) - reps, reps)
+        out_j = np.repeat(j_lo, reps) + k
+        out_r = ridx[tok_row]
+        order = np.lexsort((pos[tok_row], out_j, out_r))
+        g = pd.DataFrame(
+            {
+                "r": out_r[order],
+                "j": out_j[order],
+                "tok": tok_vals[tok_row[order]],
+            }
+        )
+        gb = g.groupby(["r", "j"], sort=False)
+        res = gb["tok"].agg(" ".join).reset_index()
+        res["n"] = gb["tok"].size().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[res["r"].to_numpy(np.int64)],
+                "chunk_id": res["j"].to_numpy(np.int64),
+                "text": res["tok"],
+                "n_tokens": res["n"].to_numpy(np.int64),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def quality_scores(docs: "rd.Dataset", id_col="doc_id", text_col="text") -> "rd.Dataset":
     """(doc_id, n_tokens, mean_token_len, alpha_ratio, stopword_ratio,
     quality) — quality is a simple monotone blend of the signals."""
