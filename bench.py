@@ -101,6 +101,10 @@ _BENCH_QUERIES = [
     "events_tumbling_daily",
     "sessionize",
     "funnel_view_click_purchase",
+    # round-4 additions
+    "personalized_pagerank_k5",
+    "astar_cost",
+    "chunk_documents",
 ]
 
 
