@@ -412,14 +412,39 @@ def train_kmeans(
     tie-break, and every updated centroid is rounded to a 1e-6 grid so
     numpy and SQL summation-order differences cannot drift the
     iteration."""
-    init = (
-        embeddings.select_columns([id_col, vec_col])
-        .sort(id_col)
-        .limit(n_centroids)
-        .to_pandas()
-    )
-    cent = np.round(_to_matrix(init, vec_col), 6)
+    proj = embeddings.select_columns([id_col, vec_col])
     assign = _kmeans_assign
+    sz = source_size_bytes(proj)
+    if sz is not None and sz <= 64 * 1024 * 1024:
+        # single-task gate (house pattern, cf. exact metric_pairs /
+        # hyperanf): below ~64 MB the per-round Dataset execution
+        # overhead dominates the k×d arithmetic, so collect the matrix
+        # once and run every Lloyd round locally. Identical init,
+        # assignment and update rule; the 1e-6 centroid grid absorbs
+        # summation-order differences exactly as it already does for
+        # the SQL oracle's recomputation. The distributed path below
+        # is unchanged and takes over above the gate.
+        df = proj.sort(id_col).to_pandas()
+        m = _to_matrix(df, vec_col)
+        cent = np.round(m[:n_centroids], 6)
+        for _ in range(train_iters):
+            a = assign(m, cent)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=len(cent)).astype(np.int64)
+            nonempty = cnt > 0
+            new_c = cent.copy()
+            new_c[nonempty] = sums[nonempty] / cnt[nonempty, None]
+            cent = np.round(new_c, 6)
+        return cent
+
+    # distributed Lloyd: materialize the projected vectors ONCE so the
+    # per-round sweep maps over resident blocks instead of re-running
+    # the upstream read/derivation every iteration (PageRank's
+    # load-once-iterate-many pattern)
+    emb = proj.materialize()
+    init = emb.sort(id_col).limit(n_centroids).to_pandas()
+    cent = np.round(_to_matrix(init, vec_col), 6)
 
     for _ in range(train_iters):
         c_ref = ray.put(cent)
@@ -439,7 +464,7 @@ def train_kmeans(
                 }
             )
 
-        folded = embeddings.map_batches(part, batch_format="pyarrow").to_pandas()
+        folded = emb.map_batches(part, batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(cent)
         cnt = np.zeros(len(cent), dtype=np.int64)
         for cl, c_, s_ in zip(folded["cl"], folded["cnt"], folded["s"]):

@@ -442,6 +442,29 @@ def test_kmeans_clusters_separates_planted_blobs():
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
 
 
+def test_kmeans_gate_and_distributed_engines_agree(monkeypatch):
+    # pin the single-task gate: the same corpus through the local
+    # Lloyd path (natural, under 64 MB) and the distributed per-round
+    # fold (forced by hiding the size hint) must yield the same
+    # codebook — the 1e-6 centroid grid absorbs summation order
+    from neo4j_graph_algorithms_ray.pipelines import similarity as simmod
+
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((200, 6)).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(200, dtype=np.int64),
+                "embedding": [r.tolist() for r in m],
+            }
+        )
+    )
+    gated = simmod.train_kmeans(emb, n_centroids=4, train_iters=3)
+    monkeypatch.setattr(simmod, "source_size_bytes", lambda ds: None)
+    dist = simmod.train_kmeans(emb, n_centroids=4, train_iters=3)
+    np.testing.assert_array_equal(gated, dist)
+
+
 def test_lsh_exchange_helpers_unit():
     """Pure-numpy/Arrow units of the shared LSH join-back wire format:
     pair dedup, fixed-size-list payload round-trip, and the
