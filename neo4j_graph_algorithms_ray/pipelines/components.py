@@ -674,6 +674,33 @@ def scc(
     t0 = time.perf_counter()
     n = graph.n
     edges = graph.edges
+    if engine == "tarjan" or (engine == "auto" and graph.m < 50_000):
+        # the reference's own small-graph default (SCCIterativeTarjan,
+        # ``algo/.../impl/SCCIterativeTarjan.java``; SURVEY §2.3 C4:
+        # Tarjan survives as the in-process kernel for small
+        # subgraphs): below the actor-engine gate a single pass over
+        # the edge list beats O(diameter) distributed FW-BW rounds —
+        # each round costs a full scheduling quantum regardless of
+        # graph size. Identical pinned min-member labels; the
+        # distributed engines take over at >= 50k edges (and tests
+        # cross-check all three engines on the same fixtures).
+        sis, dis = [], []
+        for b in edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            sis.append(b["si"].to_numpy(zero_copy_only=False))
+            dis.append(b["di"].to_numpy(zero_copy_only=False))
+        si = np.concatenate(sis) if sis else np.empty(0, np.int64)
+        di = np.concatenate(dis) if dis else np.empty(0, np.int64)
+        dense = scc_numpy_oracle(si, di, n)
+        vids = graph.vids
+        return SCCResult(
+            components=vids[dense] if n else np.empty(0, dtype=np.int64),
+            set_count=int(len(np.unique(dense))) if n else 0,
+            outer_rounds=0,
+            metrics={
+                "seconds": time.perf_counter() - t0,
+                "engine": "tarjan",
+            },
+        )
     use_actor = engine == "actor" or (engine == "auto" and graph.m >= 50_000)
     sg = graph.sharded() if use_actor else None
     sccid = np.full(n, -1, dtype=np.int64)  # dense idx of scc min member

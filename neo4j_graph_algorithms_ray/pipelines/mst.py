@@ -66,11 +66,57 @@ class MstResult:
     metrics: dict = field(default_factory=dict)
 
 
-def boruvka_forest(graph: GraphTables, minimum: bool = True) -> MstResult:
-    """Minimum (or maximum) spanning FOREST over the undirected view."""
+def _local_candidates(si, di, w, comp: np.ndarray, sign: float):
+    """Single-process mirror of shards.boruvka_candidates (same
+    lexicographic (sign·w, u, v) argmin per component, so the chosen
+    forest is bit-identical across engines)."""
+    cs, cd = comp[si], comp[di]
+    m = cs != cd
+    if not m.any():
+        return None
+    u = si[m].astype(np.int64)
+    v = di[m].astype(np.int64)
+    ww = (w[m] if w is not None else np.ones(int(m.sum()))) * sign
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    c = np.concatenate([cs[m], cd[m]])
+    w2 = np.concatenate([ww, ww])
+    a2 = np.concatenate([a, a])
+    b2 = np.concatenate([b, b])
+    order = np.lexsort((b2, a2, w2, c))
+    c_s, w_s, a_s, b_s = c[order], w2[order], a2[order], b2[order]
+    keep = np.ones(len(c_s), dtype=bool)
+    keep[1:] = c_s[1:] != c_s[:-1]
+    return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
+
+
+def boruvka_forest(
+    graph: GraphTables, minimum: bool = True, engine: str = "auto"
+) -> MstResult:
+    """Minimum (or maximum) spanning FOREST over the undirected view.
+
+    ``engine="local"`` (or ``"auto"`` below 50k edges — cf. the scc /
+    kmeans single-task gates) pulls the edge arrays once and runs the
+    SAME Borůvka rounds in-process: each distributed round costs a
+    full actor-pool sweep regardless of graph size, so O(log n) rounds
+    over a small graph are pure scheduling overhead. Identical forest
+    by construction (shared candidate kernel + shared fold)."""
     t0 = time.perf_counter()
     n = graph.n
-    sg = graph.sharded()
+    use_local = engine == "local" or (engine == "auto" and graph.m < 50_000)
+    if use_local:
+        sis, dis, ws = [], [], []
+        for b in graph.edges.iter_batches(batch_format="pyarrow", batch_size=None):
+            sis.append(b["si"].to_numpy(zero_copy_only=False))
+            dis.append(b["di"].to_numpy(zero_copy_only=False))
+            if "w" in b.column_names:
+                ws.append(b["w"].to_numpy(zero_copy_only=False))
+        e_si = np.concatenate(sis) if sis else np.empty(0, np.int64)
+        e_di = np.concatenate(dis) if dis else np.empty(0, np.int64)
+        e_w = np.concatenate(ws) if ws else None
+        sg = None
+    else:
+        sg = graph.sharded()
     sign = 1.0 if minimum else -1.0
     comp = np.arange(n, dtype=np.int64)
     chosen_a: list[np.ndarray] = []
@@ -78,7 +124,11 @@ def boruvka_forest(graph: GraphTables, minimum: bool = True) -> MstResult:
     chosen_w: list[np.ndarray] = []
     rounds = 0
     while True:
-        cand = sg.boruvka_candidates(comp, sign)
+        cand = (
+            _local_candidates(e_si, e_di, e_w, comp, sign)
+            if use_local
+            else sg.boruvka_candidates(comp, sign)
+        )
         if cand is None:
             break
         c, w, a, b = cand
@@ -121,7 +171,11 @@ def boruvka_forest(graph: GraphTables, minimum: bool = True) -> MstResult:
         total_weight=total,
         effective_node_count=n,
         rounds=rounds,
-        metrics={"seconds": time.perf_counter() - t0, "components": int(len(np.unique(comp))) if n else 0},
+        metrics={
+            "seconds": time.perf_counter() - t0,
+            "components": int(len(np.unique(comp))) if n else 0,
+            "engine": "local" if use_local else "actor",
+        },
         )
 
 

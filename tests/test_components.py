@@ -74,12 +74,14 @@ def test_wcc_random_vs_oracle(reduce_local):
     np.testing.assert_array_equal(res.components, lab)
 
 
-def test_scc_two_cycles_bridge():
-    # FIXTURES.md §3.5: two 3-cycles joined by one-way bridge c→d
+@pytest.mark.parametrize("engine", ["tarjan", "dataflow", "actor"])
+def test_scc_two_cycles_bridge(engine):
+    # FIXTURES.md §3.5: two 3-cycles joined by one-way bridge c→d;
+    # cross-engine agreement (house test pattern SURVEY §5.2)
     ids = names_to_ids(SCC_NODES)
     src, dst = edge_arrays(SCC_EDGES, ids)
     g = GraphTables.from_arrays(src, dst)
-    res = scc(g)
+    res = scc(g, engine=engine)
     assert res.set_count == 2
     assert (
         res.components[ids["a"]]
@@ -97,22 +99,26 @@ def test_scc_two_cycles_bridge():
     assert wcc(g).set_count == 1
 
 
-def test_scc_random_vs_tarjan_oracle():
+@pytest.mark.parametrize("engine", ["dataflow", "actor"])
+def test_scc_random_vs_tarjan_oracle(engine):
+    # distributed engines vs the sequential Tarjan kernel (which
+    # engine="auto" now uses directly below 50k edges)
     rng = np.random.default_rng(11)
     n, m = 200, 420
     src = rng.integers(0, n, m).astype(np.int64)
     dst = rng.integers(0, n, m).astype(np.int64)
     g = GraphTables.from_arrays(src, dst, extra_vids=np.arange(n))
-    res = scc(g)
+    res = scc(g, engine=engine)
     oracle = scc_numpy_oracle(src, dst, n)
     np.testing.assert_array_equal(res.components, oracle)
 
 
-def test_scc_dag_all_singletons():
+@pytest.mark.parametrize("engine", ["tarjan", "dataflow"])
+def test_scc_dag_all_singletons(engine):
     src = np.array([0, 1, 2], dtype=np.int64)
     dst = np.array([1, 2, 3], dtype=np.int64)
     g = GraphTables.from_arrays(src, dst)
-    res = scc(g)
+    res = scc(g, engine=engine)
     assert res.set_count == 4
     np.testing.assert_array_equal(res.components, np.arange(4))
 

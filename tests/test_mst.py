@@ -39,6 +39,18 @@ def test_boruvka_matches_prim_total(weighted_graph):
     assert tree.total_weight == pytest.approx(oracle, abs=1e-9)
 
 
+def test_boruvka_engines_agree(weighted_graph):
+    # local small-graph gate vs actor-pool rounds: bit-identical
+    # forest (shared candidate kernel + shared fold)
+    g, *_ = weighted_graph
+    loc = boruvka_forest(g, engine="local")
+    act = boruvka_forest(g, engine="actor")
+    assert loc.metrics["engine"] == "local"
+    assert act.metrics["engine"] == "actor"
+    assert loc.total_weight == act.total_weight
+    assert loc.edges.equals(act.edges)
+
+
 def test_maximum_spanning_tree(weighted_graph):
     g, src, dst, w = weighted_graph
     res_max = boruvka_forest(g, minimum=False)

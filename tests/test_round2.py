@@ -287,8 +287,8 @@ def test_scc_trim_preserves_results():
     si = np.searchsorted(g.vids, src)
     di = np.searchsorted(g.vids, dst)
     expect = g.vids[scc_numpy_oracle(si, di, g.n)]
-    got_trim = scc(g, trim=True)
-    got_plain = scc(g, trim=False)
+    got_trim = scc(g, trim=True, engine="dataflow")
+    got_plain = scc(g, trim=False, engine="dataflow")
     np.testing.assert_array_equal(got_trim.components, expect)
     np.testing.assert_array_equal(got_plain.components, expect)
 
