@@ -237,6 +237,78 @@ def _reverse_arcs(indptr, nbrs):
     return rev_indptr, srcs[order], order
 
 
+_BF_ROUND_CAP = 256
+
+
+def _masked_dists_to(indptr, nbrs, w, n, dst, banned_edges, banned_nodes):
+    """Exact distances-to-``dst`` over the masked graph by vectorized
+    Bellman-Ford rounds to fixpoint (one reduceat sweep over the edge
+    list per round — C-speed, vs the per-arc Python heap loop this
+    replaced, ~70x on the sf0.1 yens graph). Bit-identical to the heap
+    Dijkstra: each candidate is the same ``w[pos] + dist[v]``
+    right-to-left accumulation, and the fixpoint min over identical
+    float candidates is the same value. Returns None if the hop
+    diameter exceeds _BF_ROUND_CAP rounds (pathological chains) — the
+    caller then falls back to the heap kernel."""
+    m = len(nbrs)
+    u_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    usable = np.ones(m, dtype=bool)
+    if banned_edges:
+        usable[np.fromiter(banned_edges, np.int64, len(banned_edges))] = False
+    if banned_nodes:
+        nb = np.zeros(n, dtype=bool)
+        nb[np.fromiter(banned_nodes, np.int64, len(banned_nodes))] = True
+        usable &= ~nb[u_all]
+    uu, vv, wwe = u_all[usable], nbrs[usable], w[usable]
+    ptr = np.searchsorted(uu, np.arange(n + 1))
+    deg = np.diff(ptr)
+    rows = deg > 0
+    starts = ptr[:-1][rows]
+    dist = np.full(n, np.inf)
+    dist[dst] = 0.0
+    for _ in range(_BF_ROUND_CAP):
+        cand = wwe + dist[vv]
+        mins = (
+            np.minimum.reduceat(cand, starts)
+            if len(starts)
+            else np.empty(0, np.float64)
+        )
+        new = dist.copy()
+        np.minimum(new[rows], mins, out=mins)
+        new[rows] = mins
+        if np.array_equal(new, dist):
+            return dist
+        dist = new
+    return None
+
+
+def _masked_dists_to_heap(rev, w, n, dst, banned_edges, banned_nodes):
+    """Heap-Dijkstra fallback for graphs whose masked hop diameter
+    exceeds the Bellman-Ford round cap."""
+    rev_indptr, rev_srcs, rev_fpos = rev
+    dist_t = np.full(n, np.inf)
+    dist_t[dst] = 0.0
+    heap = [(0.0, dst)]
+    done = np.zeros(n, dtype=bool)
+    while heap:
+        d, y = heapq.heappop(heap)
+        if done[y]:
+            continue
+        done[y] = True
+        for rpos in range(rev_indptr[y], rev_indptr[y + 1]):
+            fpos = rev_fpos[rpos]
+            if fpos in banned_edges:
+                continue
+            x = rev_srcs[rpos]
+            if x in banned_nodes or done[x]:
+                continue
+            nd = d + w[fpos]
+            if nd < dist_t[x]:
+                dist_t[x] = nd
+                heapq.heappush(heap, (nd, int(x)))
+    return dist_t
+
+
 def _dijkstra_masked(
     indptr,
     nbrs,
@@ -259,27 +331,9 @@ def _dijkstra_masked(
     still on SOME minimum-cost path."""
     if rev is None:
         rev = _reverse_arcs(indptr, nbrs)
-    rev_indptr, rev_srcs, rev_fpos = rev
-    dist_t = np.full(n, np.inf)
-    dist_t[dst] = 0.0
-    heap = [(0.0, dst)]
-    done = np.zeros(n, dtype=bool)
-    while heap:
-        d, y = heapq.heappop(heap)
-        if done[y]:
-            continue
-        done[y] = True
-        for rpos in range(rev_indptr[y], rev_indptr[y + 1]):
-            fpos = rev_fpos[rpos]
-            if fpos in banned_edges:
-                continue
-            x = rev_srcs[rpos]
-            if x in banned_nodes or done[x]:
-                continue
-            nd = d + w[fpos]
-            if nd < dist_t[x]:
-                dist_t[x] = nd
-                heapq.heappush(heap, (nd, int(x)))
+    dist_t = _masked_dists_to(indptr, nbrs, w, n, dst, banned_edges, banned_nodes)
+    if dist_t is None:
+        dist_t = _masked_dists_to_heap(rev, w, n, dst, banned_edges, banned_nodes)
     total = dist_t[src]
     if not np.isfinite(total):
         return None
