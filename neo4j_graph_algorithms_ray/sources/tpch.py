@@ -106,15 +106,24 @@ def cyclic_edges(sf_dir: str) -> pa.Table:
     nref = ray.put(by_nation)
 
     def expand(batch: pa.Table) -> pa.Table:
+        # group customers by nation once, then one tile/repeat cross
+        # product per nation (~25 iterations) instead of a Python loop
+        # over every customer row
         bn = ray.get(nref)
         ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nk, kind="stable")
+        ck_s, nk_s = ck[order], nk[order]
+        first = np.ones(len(nk_s), dtype=bool)
+        first[1:] = nk_s[1:] != nk_s[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(nk_s)))
         srcs, dsts = [], []
-        for c, nkey in zip(ck, nk):
-            ss = bn.get(int(nkey))
+        for st, sz in zip(starts, sizes):
+            ss = bn.get(int(nk_s[st]))
             if ss is not None:
-                srcs.append(ss * 2 + 1)
-                dsts.append(np.full(len(ss), c * 2, dtype=np.int64))
+                srcs.append(np.tile(ss * 2 + 1, sz))
+                dsts.append(np.repeat(ck_s[st : st + sz] * 2, len(ss)))
         if not srcs:
             z = np.empty(0, np.int64)
             return pa.table({"src": z, "dst": z})
@@ -135,23 +144,38 @@ def co_supplier_edges(sf_dir: str) -> pa.Table:
         return _CACHE[k]
     bip = rd.from_arrow(bipartite_edges(sf_dir))
 
+    SHIFT = np.int64(1) << np.int64(21)
+
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_v = [], []
-        for _, grp in df.groupby("src", sort=False):
-            ss = np.unique(grp["dst"].to_numpy(np.int64))
-            if len(ss) < 2:
-                continue
-            i, j = np.triu_indices(len(ss), 1)
-            out_u.append(ss[i])
-            out_v.append(ss[j])
-        if not out_u:
-            return pd.DataFrame(
-                {"u": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
-            )
-        df2 = pd.DataFrame(
-            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        # one packed-key unique gives (customer, supplier) sorted &
+        # deduped; the within-group (i<j) pair fan-out is the same
+        # repeat/offset arithmetic the chunker/jaccard kernels use —
+        # no per-customer Python loop, no pandas drop_duplicates
+        empty = pd.DataFrame(
+            {"u": pd.Series([], dtype="int64"), "v": pd.Series([], dtype="int64")}
         )
-        return df2.drop_duplicates()
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        if not len(s):
+            return empty
+        if max(int(s.max()), int(d.max())) >= int(SHIFT):
+            raise OverflowError("packed pair key needs ids < 2^21")
+        key = np.unique(s * SHIFT + d)
+        s2, d2 = key // SHIFT, key % SHIFT
+        first = np.ones(len(s2), dtype=bool)
+        first[1:] = s2[1:] != s2[:-1]
+        gstart = np.flatnonzero(first)
+        gsize = np.diff(np.append(gstart, len(s2)))
+        li = np.arange(len(s2)) - np.repeat(gstart, gsize)
+        cnt = np.repeat(gsize, gsize) - 1 - li  # partners after local idx
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        row = np.repeat(np.arange(len(s2)), cnt)
+        off = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt) + 1
+        u, v = d2[row], d2[row + off]  # u < v: d2 ascending within group
+        pk = np.unique(u * SHIFT + v)  # same pair via different customers
+        return pd.DataFrame({"u": pk // SHIFT, "v": pk % SHIFT})
 
     # hash-partition by customer so each customer's supplier set is complete
     pair_ds = keyed_repartition(bip, shuffle_width(), ["src"]).map_batches(
