@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..state.graph import GraphTables
+from ..state.shards import boruvka_candidate_kernel as _local_candidates
 
 
 def _contract(comp: np.ndarray, ca: np.ndarray, cb: np.ndarray) -> np.ndarray:
@@ -64,30 +65,6 @@ class MstResult:
     effective_node_count: int
     rounds: int
     metrics: dict = field(default_factory=dict)
-
-
-def _local_candidates(si, di, w, comp: np.ndarray, sign: float):
-    """Single-process mirror of shards.boruvka_candidates (same
-    lexicographic (sign·w, u, v) argmin per component, so the chosen
-    forest is bit-identical across engines)."""
-    cs, cd = comp[si], comp[di]
-    m = cs != cd
-    if not m.any():
-        return None
-    u = si[m].astype(np.int64)
-    v = di[m].astype(np.int64)
-    ww = (w[m] if w is not None else np.ones(int(m.sum()))) * sign
-    a = np.minimum(u, v)
-    b = np.maximum(u, v)
-    c = np.concatenate([cs[m], cd[m]])
-    w2 = np.concatenate([ww, ww])
-    a2 = np.concatenate([a, a])
-    b2 = np.concatenate([b, b])
-    order = np.lexsort((b2, a2, w2, c))
-    c_s, w_s, a_s, b_s = c[order], w2[order], a2[order], b2[order]
-    keep = np.ones(len(c_s), dtype=bool)
-    keep[1:] = c_s[1:] != c_s[:-1]
-    return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
 
 
 def boruvka_forest(

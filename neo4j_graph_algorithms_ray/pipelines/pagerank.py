@@ -334,10 +334,15 @@ def personalized_pagerank(
     d = config.damping
     alpha = 1.0 - d
     source_vids = np.asarray(source_vids, dtype=np.int64)
-    pos = np.searchsorted(graph.vids, source_vids)
-    ok = (pos < n) & (graph.vids[np.minimum(pos, max(n - 1, 0))] == source_vids)
-    if not ok.all():
-        raise KeyError(f"source vids not in graph: {source_vids[~ok]}")
+    if n == 0:
+        if len(source_vids):
+            raise KeyError(f"source vids not in graph: {source_vids}")
+        pos = np.empty(0, np.int64)
+    else:
+        pos = np.searchsorted(graph.vids, source_vids)
+        ok = (pos < n) & (graph.vids[np.minimum(pos, n - 1)] == source_vids)
+        if not ok.all():
+            raise KeyError(f"source vids not in graph: {source_vids[~ok]}")
     sg = graph.sharded()
     deg = sg.degree("out", weighted=config.weighted)
     with np.errstate(divide="ignore"):

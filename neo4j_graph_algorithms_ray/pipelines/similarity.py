@@ -396,6 +396,9 @@ def _kmeans_assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)  # first min == smallest centroid id
 
 
+_KMEANS_LOCAL_BYTES = 64 * 1024 * 1024  # collected-matrix gate for local Lloyd
+
+
 def train_kmeans(
     embeddings: "rd.Dataset",
     n_centroids: int = 16,
@@ -414,8 +417,14 @@ def train_kmeans(
     iteration."""
     proj = embeddings.select_columns([id_col, vec_col])
     assign = _kmeans_assign
-    sz = source_size_bytes(proj)
-    if sz is not None and sz <= 64 * 1024 * 1024:
+    # gate on the size of the matrix that would actually be collected
+    # (rows x dim x float64) — NOT source_size_bytes, whose leaf-input
+    # estimate deliberately survives map_batches lineage and so can
+    # under-count a row-expanding upstream transform
+    n_total = proj.count()
+    head = proj.take(1)
+    dim = len(head[0][vec_col]) if head else 0
+    if n_total * max(dim, 1) * 8 <= _KMEANS_LOCAL_BYTES:
         # single-task gate (house pattern, cf. exact metric_pairs /
         # hyperanf): below ~64 MB the per-round Dataset execution
         # overhead dominates the k×d arithmetic, so collect the matrix

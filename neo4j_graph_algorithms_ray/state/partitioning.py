@@ -61,24 +61,13 @@ def keyed_repartition(ds, width: int, keys):
     keyed exchange is pure overhead. At real widths the hash shuffle
     is the right tool and is used unchanged.
 
-    Aggregator reservation cap: Ray's default hash-shuffle aggregator
-    budget is 1/16 CPU per PARTITION, so one max-width exchange (8
-    partitions/CPU, this module's cap) reserves HALF the cluster and a
-    plan with several concurrent keyed exchanges (minhash-LSH unions
-    run three) reserves MORE than the cluster — upstream map tasks
-    then starve behind the aggregator actors and the plan crawls
-    near-deadlocked (observed: 10M-doc dedup_keep_canonical, 35.6 of
-    32 CPUs reserved, ~0 blocks/min). Capping at 1/64 CPU per
-    partition keeps a max-width exchange at ~12% of the cluster;
-    aggregators are append/concat-bound and timeshare fine. Respects
-    an explicit user override (only fills the Ray default of None)."""
+    The aggregator CPU-reservation cap that keeps concurrent keyed
+    exchanges from starving upstream maps is set at PACKAGE IMPORT
+    (``__init__.configure_ray_data``), not here: Datasets snapshot
+    DataContext at creation, so a mutation at exchange-build time
+    would never reach a plan whose source was built earlier."""
     if width <= 1:
         return ds.repartition(1)
-    import ray.data as rd
-
-    ctx = rd.DataContext.get_current()
-    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 1.0 / 64
     return ds.repartition(width, keys=list(keys))
 
 

@@ -56,6 +56,33 @@ def _group_structure(idx: np.ndarray):
     return order, uniq, starts
 
 
+def boruvka_candidate_kernel(si, di, w, comp: "np.ndarray", sign: float):
+    """Per component touched by this edge set: the lexicographically
+    min (sign·w, u, v) edge leaving the component; (comp, w, u, v)
+    pre-aggregated, or None if no cross edges. Module-level so the
+    shard actors AND mst's local small-graph gate share ONE tie-break
+    definition — the cross-engine bit-identical-forest guarantee
+    depends on it."""
+    cs, cd = comp[si], comp[di]
+    m = cs != cd
+    if not m.any():
+        return None
+    u = si[m].astype(np.int64)
+    v = di[m].astype(np.int64)
+    ww0 = (w[m] if w is not None else np.ones(int(m.sum()))) * sign
+    a = np.minimum(u, v)
+    b = np.maximum(u, v)
+    c = np.concatenate([cs[m], cd[m]])
+    ww = np.concatenate([ww0, ww0])
+    aa = np.concatenate([a, a])
+    bb = np.concatenate([b, b])
+    order = np.lexsort((bb, aa, ww, c))
+    c_s, w_s, a_s, b_s = c[order], ww[order], aa[order], bb[order]
+    keep = np.ones(len(c_s), dtype=bool)
+    keep[1:] = c_s[1:] != c_s[:-1]
+    return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
+
+
 class _EdgeShard:
     """One shard: CSR-grouped numpy views of a set of edge blocks.
 
@@ -502,27 +529,9 @@ class _EdgeShard:
     # Borůvka round: per-component min outgoing edge candidates
     # ------------------------------------------------------------------
     def boruvka_candidates(self, comp: np.ndarray, sign: float):
-        """Per component touched by this shard: the lexicographically
-        min (sign·w, u, v) edge leaving the component. Returns
-        (comp, w, u, v) pre-aggregated, or None if no cross edges."""
-        cs, cd = comp[self.si], comp[self.di]
-        m = cs != cd
-        if not m.any():
-            return None
-        u = self.si[m].astype(np.int64)
-        v = self.di[m].astype(np.int64)
-        w = (self.w[m] if self.w is not None else np.ones(int(m.sum()))) * sign
-        a = np.minimum(u, v)
-        b = np.maximum(u, v)
-        c = np.concatenate([cs[m], cd[m]])
-        ww = np.concatenate([w, w])
-        aa = np.concatenate([a, a])
-        bb = np.concatenate([b, b])
-        order = np.lexsort((bb, aa, ww, c))
-        c_s, w_s, a_s, b_s = c[order], ww[order], aa[order], bb[order]
-        keep = np.ones(len(c_s), dtype=bool)
-        keep[1:] = c_s[1:] != c_s[:-1]
-        return c_s[keep], w_s[keep], a_s[keep], b_s[keep]
+        """Shared kernel over this shard's edges (see
+        boruvka_candidate_kernel)."""
+        return boruvka_candidate_kernel(self.si, self.di, self.w, comp, sign)
 
     # ------------------------------------------------------------------
     # InfoMap support: symmetric flow votes — per (vertex, neighbor

@@ -118,3 +118,7 @@ def test_personalized_pagerank_bad_source_raises():
     )
     with pytest.raises(KeyError):
         personalized_pagerank(g, np.array([42]))
+    # empty graph: still KeyError (not IndexError) for any source
+    g0 = GraphTables.from_arrays(np.empty(0, np.int64), np.empty(0, np.int64))
+    with pytest.raises(KeyError):
+        personalized_pagerank(g0, np.array([5]))

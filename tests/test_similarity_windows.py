@@ -460,7 +460,7 @@ def test_kmeans_gate_and_distributed_engines_agree(monkeypatch):
         )
     )
     gated = simmod.train_kmeans(emb, n_centroids=4, train_iters=3)
-    monkeypatch.setattr(simmod, "source_size_bytes", lambda ds: None)
+    monkeypatch.setattr(simmod, "_KMEANS_LOCAL_BYTES", 0)
     dist = simmod.train_kmeans(emb, n_centroids=4, train_iters=3)
     np.testing.assert_array_equal(gated, dist)
 
