@@ -247,3 +247,36 @@ def test_index_dtype_narrowing_boundary():
     r2 = pagerank(g2, PageRankConfig(fixed_iterations=3))
     o2 = pagerank_numpy_oracle(s2, d2, n2, iterations=3, tol=None)
     np.testing.assert_allclose(r2.ranks, o2, rtol=0, atol=1e-12)
+
+
+def test_configure_ray_data_sets_shuffle_context():
+    # the aggregator reservation cap MUST be applied at package import
+    # (Datasets snapshot DataContext at creation — a later mutation
+    # never reaches an existing plan), and a Dataset created after
+    # import must carry it in its snapshot
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray import configure_ray_data
+
+    configure_ray_data()  # idempotent
+    ctx = rd.DataContext.get_current()
+    assert (
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+        == 1.0 / 64
+    )
+    ds = rd.range(4)
+    assert (
+        ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override
+        == 1.0 / 64
+    )
+    # an explicit user setting is respected (we only fill Ray's None)
+    old = ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+    try:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.5
+        configure_ray_data()
+        assert (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+            == 0.5
+        )
+    finally:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = old
