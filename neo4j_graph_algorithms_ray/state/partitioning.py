@@ -45,9 +45,47 @@ def shuffle_width(
     CPU-floor default is the right width for them.
     """
     cpus = cluster_cpus()
+    cap = _aggregator_memory_cap_width()
     if size_bytes is None or size_bytes <= 0:
-        return max(cpus, min_width)
-    return int(max(min_width, min(size_bytes // target_block_bytes + 1, cpus * 8)))
+        width = max(cpus, min_width)
+    else:
+        width = int(
+            max(min_width, min(size_bytes // target_block_bytes + 1, cpus * 8))
+        )
+    if cap is not None:
+        width = max(min(width, cap), min_width)
+    return width
+
+
+def _aggregator_memory_cap_width() -> int | None:
+    """Width cap so ONE keyed exchange's aggregator-pool logical-memory
+    request stays within ~15% of the cluster's logical memory.
+
+    Ray's HashShuffleOperator sizes each aggregator's ``memory``
+    request from ``num_partitions x target_max_block_size`` when it
+    has no partition-size hint — i.e. the request scales with WIDTH,
+    not with the data. Union plans in this repo run several keyed
+    exchanges concurrently (minhash-LSH runs three), and a pool whose
+    actors cannot all place makes its operator wait indefinitely while
+    upstream maps starve behind it (observed end-to-end deadlock at
+    10M docs: 3 pools requested ~125 GB of logical memory on a 94 GB
+    node, 0 blocks/min). 15% per exchange leaves room for ~6
+    concurrent exchanges plus the object store's own working set; on a
+    multi-node cluster the budget scales with total cluster memory and
+    aggregators SPREAD across nodes."""
+    try:
+        mem = ray.cluster_resources().get("memory")
+    except Exception:  # pragma: no cover - ray not initialised
+        return None
+    if not mem:
+        return None
+    try:
+        import ray.data as rd
+
+        blk = rd.DataContext.get_current().target_max_block_size or (128 << 20)
+    except Exception:  # pragma: no cover
+        blk = 128 << 20
+    return max(8, int(mem * 0.15 / blk))
 
 
 def keyed_repartition(ds, width: int, keys):
