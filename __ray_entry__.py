@@ -748,6 +748,40 @@ def _q_eigenvector_top10(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids[order], "score": r[order]})
 
 
+def _q_hits_k10(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import hits
+
+    g = _graph(sf_dir, "bipartite")
+    # pinned round count so the unrolled-CTE oracle reproduces it exactly
+    res = hits(g, fixed_iterations=10)
+    return pa.table(
+        {
+            "vid": g.vids,
+            "hub": np.round(res.hubs, 6),
+            "auth": np.round(res.auths, 6),
+        }
+    )
+
+
+def _q_kcore(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.kcore import kcore
+
+    g = _graph(sf_dir, "bipartite")
+    # fixed 8 h-operator rounds: convergence is 2-4 on these graphs
+    # and extra rounds are no-ops at the fixpoint, so the unrolled SQL
+    # reproduces the exact coreness round-for-round
+    res = kcore(g, fixed_rounds=8)
+    return pa.table({"vid": g.vids, "coreness": res.coreness})
+
+
+def _q_degree_histogram(sf_dir: str) -> pa.Table:
+    g = _graph(sf_dir, "bipartite")
+    deg = g.out_degree().astype(np.int64)
+    deg = deg[deg > 0]
+    uniq, cnt = np.unique(deg, return_counts=True)
+    return pa.table({"out_deg": uniq, "cnt": cnt.astype(np.int64)})
+
+
 def _q_louvain(sf_dir: str) -> pa.Table:
     """Louvain over the part_blocks fixture (disjoint near-clique
     8-blocks — the complete co_supplier graph degenerates to ONE
@@ -1196,6 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wcc_threshold": _q_wcc_threshold,
         "article_rank_k5": _q_article_rank_k5,
         "eigenvector_top10": _q_eigenvector_top10,
+        "hits_k10": _q_hits_k10,
+        "kcore": _q_kcore,
+        "degree_histogram": _q_degree_histogram,
         "louvain_communities": _q_louvain,
         "infomap_modules": _q_infomap,
         "mst_total_weight": _q_mst_total_weight,
@@ -1388,6 +1425,75 @@ def _pagerank_cte(k: int) -> str:
     GROUP BY e.dst
   ) s ON s.vid = v.vid
 )"""
+        )
+    return ",\n".join(parts)
+
+
+def _hits_cte(k: int) -> str:
+    """Unrolled HITS rounds — the exact dataflow of pagerank.hits:
+    auth from previous hubs (forward edges), L2-normalize, hub from the
+    CURRENT auths (transposed edges), L2-normalize. Normalization
+    divides by the norm of the full dense vector (vertices without
+    in/out edges contribute 0), matching the numpy kernel. The edge /
+    vertex views are MATERIALIZED once up front — the unrolled rounds
+    reference them ~4k times, and un-materialized every reference
+    re-opens the parquet scan (DuckDB exhausted file descriptors)."""
+    parts = [
+        "eh AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "vh AS MATERIALIZED (SELECT vid FROM vertices)",
+        "nv AS (SELECT COUNT(*)::DOUBLE AS n FROM vh)",
+        "h0 AS (SELECT vid, 1.0 / SQRT((SELECT n FROM nv)) AS val FROM vh)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""araw{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, SUM(h.val) AS s
+  FROM h{i-1} h JOIN eh e ON e.src = h.vid GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"an{i} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM araw{i})"
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(ar.s, 0.0) / (SELECT nrm FROM an{i}) AS val
+  FROM vh v LEFT JOIN araw{i} ar ON ar.vid = v.vid)"""
+        )
+        parts.append(
+            f"""hraw{i} AS MATERIALIZED (
+  SELECT e.src AS vid, SUM(a.val) AS s
+  FROM a{i} a JOIN eh e ON e.dst = a.vid GROUP BY e.src)"""
+        )
+        parts.append(
+            f"hn{i} AS (SELECT SQRT(SUM(s * s)) AS nrm FROM hraw{i})"
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(hr.s, 0.0) / (SELECT nrm FROM hn{i}) AS val
+  FROM vh v LEFT JOIN hraw{i} hr ON hr.vid = v.vid)"""
+        )
+    return ",\n".join(parts)
+
+
+def _kcore_cte(rounds: int) -> str:
+    """Unrolled h-operator rounds (Lü et al. 2016) — the exact
+    dataflow of pipelines/kcore.py: start from undirected degree, each
+    round every vertex takes the h-index of its neighbors' values
+    (descending sort, h = max(min(value, rank))). Rounds past the
+    fixpoint are no-ops, so ``rounds`` only needs to be >= observed
+    convergence (4 on the bipartite graph at every SF)."""
+    parts = [
+        "und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst, src FROM edges)",
+        "k0 AS (SELECT u AS vid, COUNT(*)::BIGINT AS val FROM und GROUP BY u)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS (
+  SELECT v AS vid, MAX(LEAST(val, rn)) AS val FROM (
+    SELECT e.v AS v, p.val AS val,
+           ROW_NUMBER() OVER (PARTITION BY e.v ORDER BY p.val DESC) AS rn
+    FROM und e JOIN k{i-1} p ON p.vid = e.u
+  ) GROUP BY v)"""
         )
     return ",\n".join(parts)
 
@@ -2394,6 +2500,13 @@ JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "pagerank_k5": f"WITH {_E_BIP}, {_pagerank_cte(5)} SELECT vid, ROUND(rank, 6) AS rank FROM r5",
+        "hits_k10": f"WITH {_E_BIP}, {_hits_cte(10)} "
+        "SELECT h.vid, ROUND(h.val, 6) AS hub, ROUND(a.val, 6) AS auth "
+        "FROM h10 h JOIN a10 a ON a.vid = h.vid",
+        "kcore": f"WITH {_E_BIP}, {_kcore_cte(8)} SELECT vid, val AS coreness FROM k8",
+        "degree_histogram": f"WITH {_E_BIP} "
+        "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
+        "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",
         "personalized_pagerank_k5": f"WITH {_E_BIP}, {_ppr_cte(5)} "
         "SELECT vid, ROUND(rank, 6) AS rank FROM p5",
         "top_pagerank_10": f"WITH {_E_BIP}, {_pagerank_cte(5)} "

@@ -1,0 +1,119 @@
+"""k-core decomposition (coreness per vertex).
+
+Not in the mknblch tree itself (it arrived with the later GDS
+``gds.kcore``) — included because degeneracy/coreness is a standard
+link-graph curation signal (spam-farm and boilerplate-cluster
+detection) and it exercises a message-passing shape the engine needs
+anyway: a NON-decomposable per-vertex reduction (the h-index) folded
+from shard partials.
+
+Algorithm: the h-operator fixpoint of Lü, Zhou, Zhang, Stanley 2016
+("The H-index of a network node and its relation to degree and
+coreness", Nat. Commun. 7) —
+
+    c_0(v)   = deg(v)                 (undirected, simple)
+    c_t+1(v) = H({c_t(u) : u ∈ N(v)})
+
+where H is the h-index (max h such that ≥ h neighbor values are
+≥ h). The sequence is non-increasing and converges to the coreness.
+Rounds run on the SAME stateful shard pool as PageRank/WCC
+(state.shards): each shard emits a per-target histogram of clipped
+neighbor values — decomposable where the raw h-index is not — and the
+driver folds histograms and reduces to h per vertex with pure
+numpy (cumulative ge-counts + ``reduceat``), O(fold rows) per round.
+Clipping neighbor values at the target's current value keeps the fold
+Σ_v |distinct clipped values| ≤ 2m rows, shrinking fast as values
+collapse; at the >DENSE_MAX_N scale the same partials would flow
+through the range-engine owner split instead of the driver (the
+lpa_votes_split pattern) — documented, not built, since coreness is a
+curation-side query.
+
+The edge streams are treated as UNDIRECTED: each directed edge
+contributes both (u→v) and (v→u). Callers must project a graph whose
+directed edge list holds at most one orientation per pair (the
+bipartite projections guarantee this — src even / dst odd), otherwise
+a reciprocal pair counts its endpoints twice.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..state.graph import GraphTables
+
+
+@dataclass
+class KCoreResult:
+    coreness: np.ndarray  # dense int64, index = dense vid
+    iterations: int
+    converged: bool
+    metrics: dict = field(default_factory=dict)
+
+
+def kcore(
+    graph: GraphTables,
+    max_rounds: int = 1000,
+    fixed_rounds: Optional[int] = None,
+) -> KCoreResult:
+    """Coreness of every vertex. ``fixed_rounds`` pins the round count
+    (extra rounds past the fixpoint are no-ops — the h-operator is
+    idempotent at convergence — so a fixed count ≥ the observed
+    convergence equals the exact coreness and is oracle-reproducible
+    round-for-round)."""
+    sg = graph.sharded()
+    deg_in = sg.degree("in")
+    deg_out = sg.degree("out")
+    vals = (deg_in + deg_out).astype(np.int64)
+    it, converged = 0, False
+    rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    t0 = time.perf_counter()
+    while it < rounds:
+        new = sg.hindex_round(vals)
+        it += 1
+        same = bool(np.array_equal(new, vals))
+        vals = new
+        if same:
+            converged = True
+            if fixed_rounds is None:
+                break
+    return KCoreResult(
+        coreness=vals,
+        iterations=it,
+        converged=converged,
+        metrics={"total_seconds": time.perf_counter() - t0},
+    )
+
+
+def kcore_peel_oracle(src: np.ndarray, dst: np.ndarray, n: int) -> np.ndarray:
+    """Exact single-machine peeling reference for tests (SURVEY §5.2):
+    repeatedly remove the minimum-degree vertex; its degree at removal
+    time (monotone max so far) is its coreness. O(m log n) heap peel —
+    the textbook Batagelj–Zaveršnik shape, small-n only."""
+    import heapq
+
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(src.tolist(), dst.tolist()):
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    dead = np.zeros(n, dtype=bool)
+    heap = [(int(d), v) for v, d in enumerate(deg)]
+    heapq.heapify(heap)
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if dead[v] or d != deg[v]:
+            continue
+        dead[v] = True
+        k = max(k, int(d))
+        core[v] = k
+        for u in adj[v]:
+            if not dead[u]:
+                deg[u] -= 1
+                heapq.heappush(heap, (int(deg[u]), u))
+    return core

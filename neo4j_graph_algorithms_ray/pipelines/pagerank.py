@@ -377,6 +377,72 @@ def personalized_pagerank(
     )
 
 
+@dataclass
+class HitsResult:
+    hubs: np.ndarray  # dense, index = dense vid
+    auths: np.ndarray
+    iterations: int
+    converged: bool
+    delta: float
+    metrics: dict = field(default_factory=dict)
+
+
+def hits(
+    graph: GraphTables,
+    tolerance: float = 1e-8,
+    max_iterations: int = 100,
+    fixed_iterations: Optional[int] = None,
+) -> HitsResult:
+    """HITS hubs & authorities (Kleinberg; the reference family's
+    ``gds.alpha.hits`` surface — not in the mknblch tree itself, kept
+    here because the hub update exercises the TRANSPOSED propagation
+    the engine must support anyway). Per round:
+
+        auth_k[v] = Σ_{u→v} hub_{k-1}[u],  then L2-normalize
+        hub_k[u]  = Σ_{u→v} auth_k[v],     then L2-normalize
+
+    The auth pass is the same forward scatter as PageRank; the hub
+    pass runs the shard pool's ``reverse=True`` scatter (dst-gathered,
+    src-scattered) — no second transposed graph is built, the actors
+    reuse the one edge stream. ``fixed_iterations`` pins the round
+    count (no tolerance early-stop) so results are
+    oracle-reproducible."""
+    n = graph.n
+    sg = graph.sharded()
+    init = 1.0 / np.sqrt(n) if n else 0.0
+    hubs = np.full(n, init, dtype=np.float64)
+    auths = np.full(n, init, dtype=np.float64)
+    it, delta, converged = 0, float("inf"), False
+    if fixed_iterations is not None:
+        max_iterations = fixed_iterations
+    t0 = time.perf_counter()
+    while it < max_iterations:
+        new_auths = sg.scatter_sum(hubs)
+        norm = float(np.linalg.norm(new_auths))
+        if norm > 0.0:
+            new_auths = new_auths / norm
+        new_hubs = sg.scatter_sum(new_auths, reverse=True)
+        norm = float(np.linalg.norm(new_hubs))
+        if norm > 0.0:
+            new_hubs = new_hubs / norm
+        delta = float(
+            np.abs(new_auths - auths).sum() + np.abs(new_hubs - hubs).sum()
+        )
+        auths, hubs = new_auths, new_hubs
+        it += 1
+        if fixed_iterations is None and delta < tolerance:
+            converged = True
+            break
+    return HitsResult(
+        hubs=hubs,
+        auths=auths,
+        iterations=it,
+        converged=converged,
+        delta=delta,
+        metrics={"total_seconds": time.perf_counter() - t0},
+    )
+
+
 def eigenvector_centrality(
     graph: GraphTables,
     tolerance: float = 1e-8,

@@ -208,21 +208,26 @@ class _EdgeShard:
             self._d_inv = inv
         return self._d_inv
 
-    def _scatter_bincount(self, vec: np.ndarray, weighted: bool, dense_n: int):
+    def _scatter_bincount(
+        self, vec: np.ndarray, weighted: bool, dense_n: int, reverse: bool = False
+    ):
         """Small-n scatter: fixed 256k-edge chunks, per-chunk gather +
         weighted bincount into a cache-resident dense_n accumulator —
-        no sorted layout, nothing built at init."""
+        no sorted layout, nothing built at init. ``reverse=True`` runs
+        the transposed propagation (gather at dst, scatter to src —
+        the HITS hub update) over the same streams."""
         C = 1 << 18
         m = len(self.si)
         ranges = [(lo, min(lo + C, m)) for lo in range(0, m, C)]
+        g_idx, s_idx = (self.di, self.si) if reverse else (self.si, self.di)
 
         def run(rs):
             out = np.zeros(dense_n, dtype=np.float64)
             for lo, hi in rs:
-                contrib = vec[self.si[lo:hi]]
+                contrib = vec[g_idx[lo:hi]]
                 if weighted and self.w is not None:
                     contrib = contrib * self.w[lo:hi]
-                out += np.bincount(self.di[lo:hi], weights=contrib, minlength=dense_n)
+                out += np.bincount(s_idx[lo:hi], weights=contrib, minlength=dense_n)
             return out
 
         T = self.threads
@@ -266,10 +271,26 @@ class _EdgeShard:
         vec: np.ndarray,
         weighted: bool,
         dense_n: Optional[int] = None,
+        reverse: bool = False,
     ):
         """``vec`` arrives pre-multiplied (driver computes rank·invdeg —
         O(n) there vs O(m) gathers here), so the hot loop is ONE gather
-        + one bincount over int32 streams."""
+        + one bincount over int32 streams. ``reverse=True`` propagates
+        along the TRANSPOSED edges (dst → src — the HITS hub update);
+        the reverse path always uses the chunked-bincount kernel (no
+        src-sorted layout is built — reverse rounds are rare enough
+        that the extra accumulator DRAM traffic above SMALL_N is
+        cheaper than a second grouping sort per shard)."""
+        if reverse:
+            if dense_n is not None:
+                return self._scatter_bincount(vec, weighted, dense_n, reverse=True)
+            contrib = vec[self.di]
+            if weighted and self.w is not None:
+                contrib = contrib * self.w
+            s_order, s_uniq, s_starts = self._src_group()
+            if not len(s_uniq):
+                return s_uniq, np.empty(0, dtype=np.float64)
+            return s_uniq, np.add.reduceat(contrib[s_order], s_starts)
         if dense_n is not None:
             if dense_n <= self.SMALL_N:
                 return self._scatter_bincount(vec, weighted, dense_n)
@@ -336,6 +357,26 @@ class _EdgeShard:
                 dense = run(all_chunks)
         pieces = [dense[cuts[r] : cuts[r + 1]] for r in range(len(cuts) - 1)]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
+    def hindex_partial(self, vals: np.ndarray):
+        """One k-core h-operator round, shard partial: per-target
+        histogram of CLIPPED neighbor values, both edge directions in
+        one pass (undirected coreness — callers must not hold both
+        orientations of the same pair, or the neighbor is counted
+        twice; the bipartite projections satisfy this by construction).
+        Clipping neighbor values at the target's own current value is
+        lossless (the h-operator sequence is non-increasing from a
+        degree init — Lü et al. 2016), and bounds the partial at
+        Σ_v |{distinct clipped neighbor values}| rows — far below m
+        once values collapse toward coreness. Returns (key, cnt) with
+        key = tgt<<32 | clipped_val, fold-summable across shards."""
+        parts = []
+        for a, b in ((self.si, self.di), (self.di, self.si)):
+            c = np.minimum(vals[a], vals[b])
+            parts.append((b.astype(np.int64) << np.int64(32)) | c)
+        key = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        uk, cnt = np.unique(key, return_counts=True)
+        return uk, cnt
 
     def _thr_edges(self, thr):
         """Edge streams filtered to weight > thr, memoized per threshold
@@ -671,19 +712,70 @@ class ShardedGraph:
         return self._degree_cache[key]
 
     def scatter_sum(
-        self, vec: np.ndarray, mul: Optional[np.ndarray] = None, weighted: bool = False
+        self,
+        vec: np.ndarray,
+        mul: Optional[np.ndarray] = None,
+        weighted: bool = False,
+        reverse: bool = False,
     ) -> np.ndarray:
         """Σ over in-edges of (vec·mul)[src] (·w). The multiplier is
         folded into the broadcast vector on the driver — O(n) — so each
-        shard performs a single O(m/P) gather."""
+        shard performs a single O(m/P) gather. ``reverse=True`` sums
+        over OUT-edges instead (dst-gathered, src-scattered — the
+        transposed propagation HITS' hub update needs)."""
         if mul is not None:
             vec = vec * mul
         vec_ref = ray.put(vec)
         futs = [
-            a.scatter_sum.remote(vec_ref, weighted, self._dense_n)
+            a.scatter_sum.remote(vec_ref, weighted, self._dense_n, reverse)
             for a in self.actors
         ]
         return self._fold_sum(futs)
+
+    def hindex_round(self, vals: np.ndarray) -> np.ndarray:
+        """One k-core h-operator round over the pool: shards return
+        per-target clipped-value histograms (``hindex_partial``), the
+        driver folds them by key and reduces each target's descending
+        distinct-value cumulative counts to its h-index — O(fold rows)
+        numpy, no Python loop. Targets with no edges keep their value
+        (coreness 0 from a degree-0 init)."""
+        v_ref = ray.put(vals)
+        futs = [a.hindex_partial.remote(v_ref) for a in self.actors]
+        keys = []
+        cnts = []
+        for uk, cnt in ray.get(futs):
+            keys.append(uk)
+            cnts.append(cnt)
+        key = np.concatenate(keys)
+        cnt = np.concatenate(cnts)
+        if not len(key):
+            return vals.copy()
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        # fold duplicate keys across shards
+        new_k = np.empty(len(key), dtype=bool)
+        new_k[0] = True
+        new_k[1:] = key[1:] != key[:-1]
+        starts_k = np.flatnonzero(new_k)
+        tot = np.add.reduceat(cnt, starts_k)
+        key = key[starts_k]
+        tgt = (key >> np.int64(32)).astype(np.int64)
+        val = (key & np.int64(0xFFFFFFFF)).astype(np.int64)
+        # per target: distinct values DESC, cumulative ge-counts,
+        # h = max(min(value, ge_count))
+        order = np.lexsort((-val, tgt))
+        tgt, val, tot = tgt[order], val[order], tot[order]
+        gstart = np.flatnonzero(np.concatenate(([True], tgt[1:] != tgt[:-1])))
+        cs = np.cumsum(tot)
+        base = np.repeat(
+            cs[gstart] - tot[gstart], np.diff(np.append(gstart, len(tgt)))
+        )
+        ge = cs - base
+        cand = np.minimum(val, ge)
+        h = np.maximum.reduceat(cand, gstart)
+        out = vals.copy()
+        out[tgt[gstart]] = h
+        return out
 
     def min_round(self, labels: np.ndarray, use_star: bool = True) -> np.ndarray:
         lab_ref = ray.put(labels)

@@ -294,3 +294,108 @@ def test_infomap_witness_gate_rejects_corrupt_partition():
     assert len(bad) == 0, "gate must reject a partition that mismatches reported_l"
     # restore the honest witness for any later consumer
     entry.queries()["infomap_modules"](sf)
+
+
+# ----------------------------------------------------------------------
+# HITS + k-core (round-4 additions)
+# ----------------------------------------------------------------------
+def _random_simple_graph(seed, n=250, m=2500):
+    """Random simple graph, one orientation per pair (a < b) — the
+    no-reciprocal-pairs contract of the undirected shard kernels."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    uk = np.unique(a.astype(np.int64) * n + b)
+    return uk // n, uk % n, n
+
+
+def test_hits_matches_numpy_power_iteration():
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import hits
+
+    src, dst, n = _random_simple_graph(7)
+    g = GraphTables.from_arrays(src, dst)
+    res = hits(g, fixed_iterations=12)
+    vids = g.vids
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    nn = g.n
+    hub = np.full(nn, 1.0 / np.sqrt(nn))
+    auth = np.full(nn, 1.0 / np.sqrt(nn))
+    for _ in range(12):
+        na = np.bincount(di, weights=hub[si], minlength=nn)
+        nrm = np.linalg.norm(na)
+        na = na / nrm if nrm > 0 else na
+        nh = np.bincount(si, weights=na[di], minlength=nn)
+        nrm = np.linalg.norm(nh)
+        nh = nh / nrm if nrm > 0 else nh
+        auth, hub = na, nh
+    assert np.allclose(res.auths, auth, atol=1e-12)
+    assert np.allclose(res.hubs, hub, atol=1e-12)
+    # convergence mode reaches a stable point
+    res2 = hits(g, tolerance=1e-10)
+    assert res2.converged and res2.delta < 1e-10
+
+
+def test_hits_star_graph_hubs_vs_auths():
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import hits
+
+    # 4 sources all pointing at vertex 9: sources are pure hubs,
+    # 9 is the pure authority
+    src = np.array([0, 1, 2, 3], dtype=np.int64)
+    dst = np.array([9, 9, 9, 9], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = hits(g, fixed_iterations=5)
+    vids = g.vids
+    auth_9 = res.auths[np.searchsorted(vids, 9)]
+    assert auth_9 == pytest.approx(1.0)
+    for s in (0, 1, 2, 3):
+        assert res.hubs[np.searchsorted(vids, s)] == pytest.approx(0.5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_kcore_matches_peeling_oracle(seed):
+    from neo4j_graph_algorithms_ray.pipelines.kcore import (
+        kcore,
+        kcore_peel_oracle,
+    )
+
+    src, dst, n = _random_simple_graph(seed, n=200, m=1600 * (seed + 1))
+    g = GraphTables.from_arrays(src, dst)
+    res = kcore(g)
+    assert res.converged
+    expect = kcore_peel_oracle(src, dst, n)
+    vids = g.vids
+    got = np.zeros(n, dtype=np.int64)
+    got[vids] = res.coreness
+    present = np.zeros(n, dtype=bool)
+    present[vids] = True
+    assert np.array_equal(got[present], expect[present])
+
+
+def test_kcore_clique_plus_tail():
+    from neo4j_graph_algorithms_ray.pipelines.kcore import kcore
+
+    # K5 (coreness 4) with a path tail 5-6-7 (coreness 1)
+    e = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    e += [(4, 5), (5, 6), (6, 7)]
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    g = GraphTables.from_arrays(src, dst)
+    res = kcore(g, fixed_rounds=6)
+    vids = g.vids
+    core = {int(v): int(c) for v, c in zip(vids, res.coreness)}
+    assert all(core[v] == 4 for v in range(5))
+    assert core[5] == 1 and core[6] == 1 and core[7] == 1
+
+
+def test_reverse_scatter_matches_forward_on_transpose():
+    src, dst, n = _random_simple_graph(11)
+    g = GraphTables.from_arrays(src, dst)
+    gt = GraphTables.from_arrays(dst, src)  # explicit transpose
+    rng = np.random.default_rng(5)
+    vec = rng.random(g.n)
+    rev = g.sharded().scatter_sum(vec, reverse=True)
+    fwd_t = gt.sharded().scatter_sum(vec)
+    assert np.allclose(rev, fwd_t, atol=1e-12)
