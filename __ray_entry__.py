@@ -1195,6 +1195,31 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ngram_containment(sf_dir: str) -> pa.Table:
+    """Asymmetric n-gram containment |A∩B|/|A| over the same candidate
+    sample as ngram_jaccard — the doc-in-doc detection metric (a short
+    doc embedded in a long one scores ~1.0 where Jaccard stays low)."""
+    from neo4j_graph_algorithms_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    docs = _docs(sf_dir)
+    ids_df = docs.map_batches(
+        lambda df: df.loc[df["doc_id"] % 25 == 0, ["doc_id"]],
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    ids = np.sort(ids_df["doc_id"].to_numpy(np.int64))
+    ia, ib = np.triu_indices(len(ids), 1)
+    cand = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    out = ngram_jaccard_pairs(docs, cand, k=5, metric="containment")
+    return pa.table(
+        {
+            "doc_a": out["doc_a"].to_numpy(np.int64),
+            "doc_b": out["doc_b"].to_numpy(np.int64),
+            "containment": np.round(out["containment"].to_numpy(np.float64), 6),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph operators (SURVEY §2.2–2.5)
@@ -1206,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rel_skip": lambda sf: _q_dup_rel(sf, "skip"),
         "dup_rel_count": lambda sf: _q_dup_rel(sf, "count"),
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_containment": _q_ngram_containment,
         "pagerank_k5": _q_pagerank_k5,
         "top_pagerank_10": _q_top_pagerank_10,
         "wcc": _q_wcc,
@@ -2498,6 +2524,31 @@ SELECT c.doc_a, c.doc_b,
 FROM cand c
 JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
+        "ngram_containment": """
+WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ids a JOIN ids b ON a.doc_id < b.doc_id
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS s
+  FROM (
+    SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i FROM ids
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / na.n, 6) AS containment
+FROM cand c
+JOIN sizes na ON na.doc_id = c.doc_a
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "pagerank_k5": f"WITH {_E_BIP}, {_pagerank_cte(5)} SELECT vid, ROUND(rank, 6) AS rank FROM r5",
         "hits_k10": f"WITH {_E_BIP}, {_hits_cte(10)} "

@@ -105,6 +105,8 @@ _BENCH_QUERIES = [
     "personalized_pagerank_k5",
     "astar_cost",
     "chunk_documents",
+    "hits_k10",
+    "kcore",
 ]
 
 

@@ -706,6 +706,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    metric: str = "jaccard",
 ) -> pd.DataFrame:
     """EXACT n-gram Jaccard for given candidate pairs (verification stage
     after a sketch prefilter): ship the candidate PAIR LIST to the
@@ -722,12 +723,19 @@ def ngram_jaccard_pairs(
     a Python loop with one ``intersect1d`` per pair). Shingle sets are
     sorted-unique by construction (``char_shingles_u64``), so within a
     pair a duplicated value after the sort == one common element.
+
+    ``metric="containment"`` scores |A∩B| / |A| instead (asymmetric
+    doc-in-doc detection — a short doc wholly embedded in a long one
+    scores ~1.0 where Jaccard stays low); same dataflow, only the
+    final per-pair division differs.
     """
     import ray
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     if not len(candidate_pairs):
         out = candidate_pairs.copy()
-        out["jaccard"] = pd.Series([], dtype="float64")
+        out[metric] = pd.Series([], dtype="float64")
         return out
     pr = candidate_pairs[["doc_a", "doc_b"]].astype("int64")
     da = pr["doc_a"].to_numpy(np.int64)
@@ -797,7 +805,7 @@ def ngram_jaccard_pairs(
     )
 
     _SCORE_SCHEMA = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), (metric, pa.float64())]
     )
 
     def score(t: pa.Table) -> pa.Table:
@@ -849,9 +857,12 @@ def ngram_jaccard_pairs(
         if len(vv) > 1:
             dup[1:] = (vv[1:] == vv[:-1]) & (pid[1:] == pid[:-1])
         inter = np.bincount(pid[dup], minlength=P)
-        union = na + nb - inter
-        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-        return pa.table({"doc_a": pa_, "doc_b": pb_, "jaccard": jac})
+        if metric == "containment":
+            val = np.where(na > 0, inter / np.maximum(na, 1), 1.0)
+        else:
+            union = na + nb - inter
+            val = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        return pa.table({"doc_a": pa_, "doc_b": pb_, metric: val})
 
     scored = (
         parts.map_batches(score, batch_format="pyarrow", batch_size=None)

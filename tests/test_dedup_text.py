@@ -628,3 +628,26 @@ def test_minhash_signatures_batch_matches_perdoc():
     # chunked: the combine_chunks path
     ch = pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])])
     assert np.array_equal(want, minhash_signatures_batch(ch, 64))
+
+
+def test_ngram_containment_doc_in_doc():
+    import pandas as pd
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("completely different preamble text here. " + short
+            + " and a long unrelated suffix about arrow batches " * 4)
+    docs = _docs([short, long, "nothing in common with either text"])
+    cand = pd.DataFrame({"doc_a": [0, 0], "doc_b": [1, 2]})
+    cont = ngram_jaccard_pairs(docs, cand, metric="containment")
+    by = dict(zip(cont["doc_b"], cont["containment"]))
+    jac = ngram_jaccard_pairs(docs, cand)
+    jby = dict(zip(jac["doc_b"], jac["jaccard"]))
+    # short doc fully embedded in long: containment ~1, jaccard low
+    assert by[1] > 0.95
+    assert jby[1] < 0.5
+    assert by[2] < 0.1
+    # unknown metric rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, cand, metric="dice")
