@@ -34,6 +34,7 @@ def _build_parser() -> argparse.ArgumentParser:
         "pipeline",
         choices=[
             "pagerank", "wcc", "lpa", "triangle_count", "degree",
+            "hits", "kcore",
             # corpus-curation pipelines (take --docs, emit parquet rows)
             "clean_corpus", "line_dedup", "dedup_keep_canonical",
             "pack_sequences", "weighted_sample", "pii_scrub",
@@ -182,6 +183,26 @@ def main(argv=None) -> int:
         )
         vectors = {"label": res.labels}
         metrics = {"iterations": res.iterations}
+    elif args.pipeline == "hits":
+        from .pipelines.pagerank import hits
+
+        res = hits(
+            graph,
+            tolerance=args.tolerance,
+            fixed_iterations=args.iterations,
+        )
+        vectors = {"hub": res.hubs, "auth": res.auths}
+        metrics = {"iterations": res.iterations, "converged": res.converged}
+    elif args.pipeline == "kcore":
+        from .pipelines.kcore import kcore
+
+        res = kcore(graph, fixed_rounds=args.iterations)
+        vectors = {"coreness": res.coreness.astype("float64")}
+        metrics = {
+            "rounds": res.iterations,
+            "converged": res.converged,
+            "max_coreness": int(res.coreness.max()) if graph.n else 0,
+        }
     elif args.pipeline == "triangle_count":
         from .pipelines.triangles import triangle_count
 

@@ -409,3 +409,41 @@ def test_cli_job_entrypoint(tmp_path):
         main(["pagerank", "--edges", str(edges), "--out", str(out)])
     m2 = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert m2["sink_skipped"] == m["sink_partitions"]
+
+
+def test_cli_hits_and_kcore(tmp_path):
+    import contextlib
+    import io
+    import json
+
+    import duckdb
+
+    from neo4j_graph_algorithms_ray.__main__ import main
+
+    edges = tmp_path / "edges.parquet"
+    # K3 triangle + pendant: coreness 2/2/2/1; all vertices hub+auth > 0
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (1,2),(2,3),(3,1),(3,4)) t(src,dst)) "
+        f"TO '{edges}' (FORMAT PARQUET)"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["hits", "--edges", str(edges), "--out", str(tmp_path / "h")])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["converged"] and m["vertices"] == 4
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["kcore", "--edges", str(edges), "--out", str(tmp_path / "k")])
+    assert rc == 0
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["converged"] and m["max_coreness"] == 2
+    import pyarrow.parquet as pq
+
+    t = (
+        pq.read_table(str(tmp_path / "k"))
+        .to_pandas()
+        .set_index("vid")["coreness"]
+    )
+    assert t[1] == 2 and t[2] == 2 and t[3] == 2 and t[4] == 1
