@@ -538,3 +538,51 @@ def test_auto_tables_holds_recall_as_planes_grow():
     # monotone: more planes -> at least as many tables
     ts = [_auto_tables(thr, k) for k in (6, 10, 16, 22)]
     assert ts == sorted(ts)
+
+
+def test_lsh_neardup_recall_threshold_adjacent_pairs():
+    """Planted pairs NEAR the threshold (sim 0.91-0.93 vs threshold
+    0.9) — the regime where under-tabled LSH silently loses recall as
+    auto-sized planes grow with n (planes ~ log2(n/3) is >= 10 here).
+    Pairs at sim ~0.999 survive any plane count and prove nothing."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import lsh_cosine_neardup
+
+    rng = np.random.default_rng(42)
+    dim = 32
+    n_noise, n_pairs = 4000, 150
+    noise = rng.standard_normal((n_noise, dim))
+    va = rng.standard_normal((n_pairs, dim))
+    va /= np.linalg.norm(va, axis=1, keepdims=True)
+    # construct the partner at an exact target cosine via an
+    # orthonormal complement direction
+    target = rng.uniform(0.91, 0.93, n_pairs)
+    w = rng.standard_normal((n_pairs, dim))
+    w -= (w * va).sum(axis=1, keepdims=True) * va
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    vb = target[:, None] * va + np.sqrt(1 - target**2)[:, None] * w
+    m = np.concatenate([noise, va, vb]).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(len(m), dtype=np.int64),
+                "embedding": list(m),
+            }
+        )
+    )
+    got = lsh_cosine_neardup(emb, threshold=0.9).to_pandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    planted = set(
+        zip(
+            range(n_noise, n_noise + n_pairs),
+            range(n_noise + n_pairs, n_noise + 2 * n_pairs),
+        )
+    )
+    recall = len(pairs & planted) / n_pairs
+    assert recall >= 0.9, recall
+    # verify stage keeps similarities exact: every reported planted
+    # pair carries its constructed cosine
+    by = {(a, b): s for a, b, s in zip(got["doc_a"], got["doc_b"], got["sim"])}
+    for i, t in enumerate(target):
+        key = (n_noise + i, n_noise + n_pairs + i)
+        if key in by:
+            assert abs(by[key] - t) < 1e-3
