@@ -1015,6 +1015,14 @@ def _q_pearson_topk(sf_dir: str) -> pd.DataFrame:
     return t[["query_id", "vec_id", "rank", "score"]]
 
 
+def _q_dot_topk(sf_dir: str) -> pd.DataFrame:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import metric_topk
+
+    t = metric_topk(_emb(sf_dir), [0, 1, 2, 3], k=5, metric="dot")
+    t["score"] = t["score"].round(4)
+    return t[["query_id", "vec_id", "rank", "score"]]
+
+
 def _q_delta_stepping(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.paths import delta_stepping
 
@@ -1275,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": _q_doc_sha256,
         "euclidean_topk": _q_euclidean_topk,
         "pearson_topk": _q_pearson_topk,
+        "dot_topk": _q_dot_topk,
         "euclidean_pairs": _q_euclidean_pairs,
         "pearson_pairs": _q_pearson_pairs,
         "token_stats": _q_token_stats,
@@ -3038,6 +3047,20 @@ d AS (
 ranked AS (
   SELECT query_id, vec_id, score,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5""",
+        "dot_topk": """WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
   FROM d
 )
 SELECT query_id, vec_id, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5""",
