@@ -70,11 +70,15 @@ def kcore(
     vals = (deg_in + deg_out).astype(np.int64)
     it, converged = 0, False
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+    changed: Optional[np.ndarray] = None  # round 1: everything active
+    frontier_sizes = []
     t0 = time.perf_counter()
     while it < rounds:
-        new = sg.hindex_round(vals)
+        new = sg.hindex_round(vals, changed)
         it += 1
-        same = bool(np.array_equal(new, vals))
+        changed = new != vals
+        frontier_sizes.append(int(changed.sum()))
+        same = not changed.any()
         vals = new
         if same:
             converged = True
@@ -84,7 +88,10 @@ def kcore(
         coreness=vals,
         iterations=it,
         converged=converged,
-        metrics={"total_seconds": time.perf_counter() - t0},
+        metrics={
+            "total_seconds": time.perf_counter() - t0,
+            "frontier_sizes": frontier_sizes,
+        },
     )
 
 
