@@ -399,3 +399,22 @@ def test_reverse_scatter_matches_forward_on_transpose():
     rev = g.sharded().scatter_sum(vec, reverse=True)
     fwd_t = gt.sharded().scatter_sum(vec)
     assert np.allclose(rev, fwd_t, atol=1e-12)
+
+
+def test_kcore_frontier_round_matches_full_round():
+    src, dst, n = _random_simple_graph(21, n=300, m=4000)
+    g = GraphTables.from_arrays(src, dst)
+    sg = g.sharded()
+    vals = (sg.degree("in") + sg.degree("out")).astype(np.int64)
+    full = sg.hindex_round(vals)
+    # frontier path with everything marked changed must equal the
+    # unfiltered round
+    assert np.array_equal(
+        sg.hindex_round(vals, np.ones(g.n, dtype=bool)), full
+    )
+    # after one round, a frontier-filtered second round must equal the
+    # unfiltered second round
+    changed = full != vals
+    assert np.array_equal(
+        sg.hindex_round(full, changed), sg.hindex_round(full)
+    )
