@@ -397,6 +397,21 @@ class _EdgeShard:
         uk, cnt = np.unique(key, return_counts=True)
         return uk, cnt
 
+    def hindex_partial_split(self, vals: np.ndarray, active, cuts: np.ndarray):
+        """``hindex_partial`` sliced by target range for the
+        range-split fold: the partial is key-sorted (np.unique), and
+        the target id is the key's high 32 bits, so each range's slice
+        is one searchsorted on ``cuts<<32``. Returned as
+        ``num_returns=len(cuts)-1`` plasma objects that flow straight
+        to their fold tasks."""
+        uk, cnt = self.hindex_partial(vals, active)
+        idx = np.searchsorted(uk, cuts.astype(np.int64) << np.int64(32))
+        pieces = [
+            (uk[idx[r] : idx[r + 1]], cnt[idx[r] : idx[r + 1]])
+            for r in range(len(cuts) - 1)
+        ]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
     def _thr_edges(self, thr):
         """Edge streams filtered to weight > thr, memoized per threshold
         (a fixpoint runs many rounds over the same filtered view — the
@@ -646,6 +661,58 @@ class _EdgeShard:
         return t_s[starts], l_s[starts], np.add.reduceat(w_s, starts)
 
 
+def _fold_hindex(
+    key_parts: list, cnt_parts: list, base_vals: np.ndarray, lo: int
+) -> np.ndarray:
+    """Fold per-shard (key, cnt) histogram partials (key =
+    tgt<<32 | clipped_val) and reduce each target's descending
+    distinct-value cumulative counts to its h-index. ``base_vals`` is
+    the slice of current values covering targets [lo, lo+len); targets
+    with no rows keep their value. Pure numpy, shared by the driver
+    fold and the range-split fold tasks."""
+    out = base_vals.copy()
+    key = np.concatenate(key_parts) if key_parts else np.empty(0, np.int64)
+    if not len(key):
+        return out
+    cnt = np.concatenate(cnt_parts)
+    order = np.argsort(key, kind="stable")
+    key, cnt = key[order], cnt[order]
+    new_k = np.empty(len(key), dtype=bool)
+    new_k[0] = True
+    new_k[1:] = key[1:] != key[:-1]
+    starts_k = np.flatnonzero(new_k)
+    tot = np.add.reduceat(cnt, starts_k)
+    key = key[starts_k]
+    tgt = (key >> np.int64(32)).astype(np.int64)
+    val = (key & np.int64(0xFFFFFFFF)).astype(np.int64)
+    # per target: distinct values DESC, cumulative ge-counts,
+    # h = max(min(value, ge_count))
+    order = np.lexsort((-val, tgt))
+    tgt, val, tot = tgt[order], val[order], tot[order]
+    gstart = np.flatnonzero(np.concatenate(([True], tgt[1:] != tgt[:-1])))
+    cs = np.cumsum(tot)
+    base = np.repeat(
+        cs[gstart] - tot[gstart], np.diff(np.append(gstart, len(tgt)))
+    )
+    ge = cs - base
+    cand = np.minimum(val, ge)
+    h = np.maximum.reduceat(cand, gstart)
+    out[tgt[gstart] - lo] = h
+    return out
+
+
+@ray.remote
+def _hindex_fold_range(lo: int, hi: int, vals_ref, *parts):
+    """Range fold task for the >10M-edge k-core path: receives each
+    shard's [lo, hi) slice of its sorted histogram partial, folds and
+    returns the updated value slice — the driver only ever ingests the
+    R concatenated h-slices (O(n) total), never the histograms."""
+    vals = vals_ref if isinstance(vals_ref, np.ndarray) else ray.get(vals_ref)
+    return _fold_hindex(
+        [p[0] for p in parts], [p[1] for p in parts], vals[lo:hi], lo
+    )
+
+
 class ShardedGraph:
     """Actor pool holding the edge table, one shard per actor."""
 
@@ -787,42 +854,35 @@ class ShardedGraph:
         else:
             active, a_ref = None, None
         v_ref = ray.put(vals)
+        # Above this edge count the per-round fold (Σ_v distinct
+        # clipped values — up to tens of GB·rounds on dense graphs)
+        # would serialize through the driver; range-split it across
+        # fold TASKS instead (each shard's sorted partial is sliced by
+        # target range with searchsorted and flows straight to its
+        # fold task; the driver ingests only the R h-slices, O(n)).
+        if self.m >= 10_000_000 and len(self.actors) > 1:
+            R = max(2, len(self.actors))
+            cuts = np.linspace(0, self.n, R + 1).astype(np.int64)
+            c_ref = ray.put(cuts)
+            futs = [
+                a.hindex_partial_split.options(num_returns=R).remote(
+                    v_ref, a_ref, c_ref
+                )
+                for a in self.actors
+            ]
+            fold_futs = [
+                _hindex_fold_range.remote(
+                    int(cuts[r]), int(cuts[r + 1]), v_ref,
+                    *[futs[s][r] for s in range(len(self.actors))]
+                )
+                for r in range(R)
+            ]
+            return np.concatenate(ray.get(fold_futs))
         futs = [a.hindex_partial.remote(v_ref, a_ref) for a in self.actors]
-        keys = []
-        cnts = []
-        for uk, cnt in ray.get(futs):
-            keys.append(uk)
-            cnts.append(cnt)
-        key = np.concatenate(keys)
-        cnt = np.concatenate(cnts)
-        if not len(key):
-            return vals.copy()
-        order = np.argsort(key, kind="stable")
-        key, cnt = key[order], cnt[order]
-        # fold duplicate keys across shards
-        new_k = np.empty(len(key), dtype=bool)
-        new_k[0] = True
-        new_k[1:] = key[1:] != key[:-1]
-        starts_k = np.flatnonzero(new_k)
-        tot = np.add.reduceat(cnt, starts_k)
-        key = key[starts_k]
-        tgt = (key >> np.int64(32)).astype(np.int64)
-        val = (key & np.int64(0xFFFFFFFF)).astype(np.int64)
-        # per target: distinct values DESC, cumulative ge-counts,
-        # h = max(min(value, ge_count))
-        order = np.lexsort((-val, tgt))
-        tgt, val, tot = tgt[order], val[order], tot[order]
-        gstart = np.flatnonzero(np.concatenate(([True], tgt[1:] != tgt[:-1])))
-        cs = np.cumsum(tot)
-        base = np.repeat(
-            cs[gstart] - tot[gstart], np.diff(np.append(gstart, len(tgt)))
+        parts = ray.get(futs)
+        return _fold_hindex(
+            [p[0] for p in parts], [p[1] for p in parts], vals, 0
         )
-        ge = cs - base
-        cand = np.minimum(val, ge)
-        h = np.maximum.reduceat(cand, gstart)
-        out = vals.copy()
-        out[tgt[gstart]] = h
-        return out
 
     def min_round(self, labels: np.ndarray, use_star: bool = True) -> np.ndarray:
         lab_ref = ray.put(labels)

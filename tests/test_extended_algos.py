@@ -418,3 +418,28 @@ def test_kcore_frontier_round_matches_full_round():
     assert np.array_equal(
         sg.hindex_round(full, changed), sg.hindex_round(full)
     )
+
+
+def test_kcore_range_split_fold_matches_driver_fold():
+    from neo4j_graph_algorithms_ray.pipelines.kcore import (
+        kcore,
+        kcore_peel_oracle,
+    )
+
+    src, dst, n = _random_simple_graph(33, n=800, m=9000)
+    g = GraphTables.from_arrays(src, dst)
+    sg = g.sharded(num_shards=4)
+    r_driver = kcore(g)
+    old_m = sg.m
+    try:
+        sg.m = 20_000_000  # cross the range-split threshold, same data
+        r_dist = kcore(g)
+    finally:
+        sg.m = old_m
+    assert np.array_equal(r_driver.coreness, r_dist.coreness)
+    expect = kcore_peel_oracle(src, dst, n)
+    got = np.zeros(n, dtype=np.int64)
+    got[g.vids] = r_dist.coreness
+    present = np.zeros(n, dtype=bool)
+    present[g.vids] = True
+    assert np.array_equal(got[present], expect[present])
