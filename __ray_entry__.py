@@ -774,6 +774,14 @@ def _q_kcore(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids, "coreness": res.coreness})
 
 
+def _q_degree_assortativity(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.stats import degree_assortativity
+
+    g = _graph(sf_dir, "cyclic")  # bipartite out/in degrees are disjoint
+    r = degree_assortativity(g)
+    return pa.table({"assortativity": np.array([round(r, 6)], dtype=np.float64)})
+
+
 def _q_degree_histogram(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "bipartite")
     deg = g.out_degree().astype(np.int64)
@@ -1267,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k10": _q_hits_k10,
         "kcore": _q_kcore,
         "degree_histogram": _q_degree_histogram,
+        "degree_assortativity": _q_degree_assortativity,
         "louvain_communities": _q_louvain,
         "infomap_modules": _q_infomap,
         "mst_total_weight": _q_mst_total_weight,
@@ -2567,6 +2576,11 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",
+        "degree_assortativity": f"""WITH {_E_CYC},
+deg_out AS (SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src),
+deg_in AS (SELECT dst AS vid, COUNT(*) AS d FROM edges GROUP BY dst)
+SELECT ROUND(CORR(o.d, i.d), 6) AS assortativity
+FROM edges e JOIN deg_out o ON o.vid = e.src JOIN deg_in i ON i.vid = e.dst""",
         "personalized_pagerank_k5": f"WITH {_E_BIP}, {_ppr_cte(5)} "
         "SELECT vid, ROUND(rank, 6) AS rank FROM p5",
         "top_pagerank_10": f"WITH {_E_BIP}, {_pagerank_cte(5)} "

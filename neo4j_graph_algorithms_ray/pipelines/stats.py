@@ -14,6 +14,55 @@ import pyarrow as pa
 _QS = (1, 5, 10, 25, 50, 75, 90, 95, 99, 100)
 
 
+def degree_assortativity(graph) -> float:
+    """Edge-wise degree correlation (Newman 2002): the Pearson
+    correlation of (out_deg[src], in_deg[dst]) over the directed edge
+    stream — the classic web-graph mixing statistic (hub-to-hub vs
+    hub-to-leaf linking). One streamed map over the edge Dataset with
+    the dense degree vectors broadcast once; each block folds to SIX
+    scalars (count, Σx, Σy, Σxy, Σx², Σy²), so the driver combine is
+    O(blocks) regardless of m. Matches SQL ``CORR(dx, dy)``."""
+    import ray
+
+    sg = graph.sharded()
+    dout = sg.degree("out")
+    din = sg.degree("in")
+    x_ref, y_ref = ray.put(dout), ray.put(din)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False)
+        di = batch["di"].to_numpy(zero_copy_only=False)
+        x = ray.get(x_ref)[si]
+        y = ray.get(y_ref)[di]
+        return pa.table(
+            {
+                "n": np.array([float(len(x))]),
+                "sx": np.array([x.sum()]),
+                "sy": np.array([y.sum()]),
+                "sxy": np.array([(x * y).sum()]),
+                "sxx": np.array([(x * x).sum()]),
+                "syy": np.array([(y * y).sum()]),
+            }
+        )
+
+    tot = np.zeros(6, dtype=np.float64)
+    for b in (
+        graph.edges.map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for j, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
+            tot[j] += b[c].to_numpy(zero_copy_only=False).sum()
+    n, sx, sy, sxy, sxx, syy = tot
+    if n == 0:
+        return float("nan")
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    return float(cov / np.sqrt(vx * vy))
+
+
 def size_percentiles(labels: np.ndarray, qs=_QS) -> pa.Table:
     """(stat, value) rows for a per-vertex label assignment: set_count
     plus the q-th percentiles of the label-group sizes. ``labels`` is
