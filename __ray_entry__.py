@@ -782,6 +782,14 @@ def _q_degree_assortativity(sf_dir: str) -> pa.Table:
     return pa.table({"assortativity": np.array([round(r, 6)], dtype=np.float64)})
 
 
+def _q_reciprocity(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.stats import reciprocity
+
+    g = _graph(sf_dir, "cyclic")  # bipartite has zero reciprocal pairs
+    r = reciprocity(g)
+    return pa.table({"reciprocity": np.array([round(r, 6)], dtype=np.float64)})
+
+
 def _q_degree_histogram(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "bipartite")
     deg = g.out_degree().astype(np.int64)
@@ -1276,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
+        "reciprocity": _q_reciprocity,
         "louvain_communities": _q_louvain,
         "infomap_modules": _q_infomap,
         "mst_total_weight": _q_mst_total_weight,
@@ -2576,6 +2585,11 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",
+        "reciprocity": f"""WITH {_E_CYC}
+SELECT ROUND(
+  (SELECT COUNT(*) FROM edges a JOIN edges b
+     ON b.src = a.dst AND b.dst = a.src)::DOUBLE
+  / (SELECT COUNT(*) FROM edges), 6) AS reciprocity""",
         "degree_assortativity": f"""WITH {_E_CYC},
 deg_out AS (SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src),
 deg_in AS (SELECT dst AS vid, COUNT(*) AS d FROM edges GROUP BY dst)

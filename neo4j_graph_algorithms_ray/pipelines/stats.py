@@ -63,6 +63,55 @@ def degree_assortativity(graph) -> float:
     return float(cov / np.sqrt(vx * vy))
 
 
+def reciprocity(graph) -> float:
+    """Fraction of directed edges whose reverse edge also exists
+    (Garlaschelli & Loffredo's r for simple digraphs) — the web-graph
+    mutual-linking statistic. ONE keyed exchange on the canonical
+    (min,max) pair key; each block ORs orientation bits per pair and
+    folds to two scalars, so the driver combine is O(blocks). Edges
+    are assumed distinct (the projected graphs guarantee it);
+    self-loops count as reciprocal."""
+    import ray.data  # noqa: F401  (Dataset already materialized)
+
+    from ..state.partitioning import keyed_repartition, shuffle_width
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        si = batch["si"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = batch["di"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(si, di)
+        hi = np.maximum(si, di)
+        flag = np.where(si == di, 3, np.where(si < di, 1, 2)).astype(np.int64)
+        return pa.table({"key": (lo << np.int64(32)) | hi, "flag": flag})
+
+    def fold(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"recip": [0.0], "total": [0.0]})
+        key = t["key"].to_numpy(zero_copy_only=False)
+        flag = t["flag"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, flag = key[order], flag[order]
+        starts = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        both = np.bitwise_or.reduceat(flag, starts) == 3
+        sizes = np.diff(np.append(starts, len(key)))
+        return pa.table(
+            {
+                "recip": [float(sizes[both].sum())],
+                "total": [float(len(key))],
+            }
+        )
+
+    ex = keyed_repartition(
+        graph.edges.map_batches(pairs, batch_format="pyarrow"),
+        shuffle_width(16 * graph.m),
+        ["key"],
+    ).map_batches(fold, batch_format="pyarrow", batch_size=None)
+    recip = total = 0.0
+    for b in ex.iter_batches(batch_format="pyarrow", batch_size=None):
+        recip += b["recip"].to_numpy(zero_copy_only=False).sum()
+        total += b["total"].to_numpy(zero_copy_only=False).sum()
+    return float(recip / total) if total else float("nan")
+
+
 def size_percentiles(labels: np.ndarray, qs=_QS) -> pa.Table:
     """(stat, value) rows for a per-vertex label assignment: set_count
     plus the q-th percentiles of the label-group sizes. ``labels`` is
