@@ -392,6 +392,7 @@ def hits(
     tolerance: float = 1e-8,
     max_iterations: int = 100,
     fixed_iterations: Optional[int] = None,
+    checkpoint: Optional[CheckpointConfig] = None,
 ) -> HitsResult:
     """HITS hubs & authorities (Kleinberg; the reference family's
     ``gds.alpha.hits`` surface — not in the mknblch tree itself, kept
@@ -406,7 +407,9 @@ def hits(
     src-scattered) — no second transposed graph is built, the actors
     reuse the one edge stream. ``fixed_iterations`` pins the round
     count (no tolerance early-stop) so results are
-    oracle-reproducible."""
+    oracle-reproducible. ``checkpoint`` saves both vectors per
+    iteration with lineage + metrics and resumes mid-run (the same
+    state.checkpoint contract as PageRank/WCC/LPA)."""
     n = graph.n
     sg = graph.sharded()
     init = 1.0 / np.sqrt(n) if n else 0.0
@@ -415,8 +418,15 @@ def hits(
     it, delta, converged = 0, float("inf"), False
     if fixed_iterations is not None:
         max_iterations = fixed_iterations
+    if checkpoint is not None and checkpoint.resume:
+        k = latest_complete(checkpoint)
+        if k is not None:
+            _, vectors, _ = load_iteration(checkpoint, k, expect_vids=graph.vids)
+            hubs, auths = vectors["hub"], vectors["auth"]
+            it = k
     t0 = time.perf_counter()
     while it < max_iterations:
+        ti = time.perf_counter()
         new_auths = sg.scatter_sum(hubs)
         norm = float(np.linalg.norm(new_auths))
         if norm > 0.0:
@@ -430,6 +440,19 @@ def hits(
         )
         auths, hubs = new_auths, new_hubs
         it += 1
+        if checkpoint is not None and it % checkpoint.every == 0:
+            save_iteration(
+                checkpoint,
+                it,
+                graph.vids,
+                {"hub": hubs, "auth": auths},
+                {
+                    "iteration": it,
+                    "delta": delta,
+                    "seconds": time.perf_counter() - ti,
+                },
+                input_token=graph.token,
+            )
         if fixed_iterations is None and delta < tolerance:
             converged = True
             break

@@ -81,8 +81,13 @@ def save_iteration(
                 "rows": hi - lo,
                 "vid_min": int(vids[lo]) if n else None,
                 "vid_max": int(vids[hi - 1]) if n else None,
+                # sorted name order — load_iteration verifies against
+                # lineage["vectors"] (sorted), so dict insertion order
+                # must not leak into the checksum (it did: the first
+                # multi-vector checkpoint, HITS' {hub, auth}, failed
+                # verification on every resume)
                 "checksum": _checksum(
-                    [vids[lo:hi]] + [v[lo:hi] for v in vectors.values()]
+                    [vids[lo:hi]] + [vectors[v][lo:hi] for v in sorted(vectors)]
                 ),
             }
         )

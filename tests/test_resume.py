@@ -117,3 +117,17 @@ def test_lpa_resume_identical(tmp_path):
         g, LabelPropagationConfig(fixed_iterations=6, engine="actor", checkpoint=ck)
     )
     np.testing.assert_array_equal(full.labels, resumed.labels)
+
+
+def test_hits_resume_identical(tmp_path):
+    from neo4j_graph_algorithms_ray.pipelines.pagerank import hits
+
+    g = _graph()
+    full = hits(g, fixed_iterations=10)
+    ck = CheckpointConfig(dir=str(tmp_path / "hck"), every=1)
+    hits(g, fixed_iterations=4, checkpoint=ck)
+    ck_resume = CheckpointConfig(dir=str(tmp_path / "hck"), every=1, resume=True)
+    resumed = hits(g, fixed_iterations=10, checkpoint=ck_resume)
+    np.testing.assert_array_equal(full.hubs, resumed.hubs)
+    np.testing.assert_array_equal(full.auths, resumed.auths)
+    assert resumed.iterations == 10
