@@ -18,15 +18,18 @@ where H is the h-index (max h such that ≥ h neighbor values are
 ≥ h). The sequence is non-increasing and converges to the coreness.
 Rounds run on the SAME stateful shard pool as PageRank/WCC
 (state.shards): each shard emits a per-target histogram of clipped
-neighbor values — decomposable where the raw h-index is not — and the
-driver folds histograms and reduces to h per vertex with pure
-numpy (cumulative ge-counts + ``reduceat``), O(fold rows) per round.
-Clipping neighbor values at the target's current value keeps the fold
-Σ_v |distinct clipped values| ≤ 2m rows, shrinking fast as values
-collapse; at the >DENSE_MAX_N scale the same partials would flow
-through the range-engine owner split instead of the driver (the
-lpa_votes_split pattern) — documented, not built, since coreness is a
-curation-side query.
+neighbor values — decomposable where the raw h-index is not — reduced
+to h per vertex with pure numpy (cumulative ge-counts + ``reduceat``),
+O(fold rows) per round. Clipping neighbor values at the target's
+current value keeps the fold Σ_v |distinct clipped values| ≤ 2m rows.
+Two scale levers (both bit-identical to the plain fold, pinned by
+tests): FRONTIER FILTERING — only targets whose own or neighbor
+values moved re-emit histograms, so on sparse graphs the fold
+collapses to near-nothing after a few rounds — and, above 10M edges,
+a RANGE-SPLIT FOLD — shards slice their sorted partials by target
+range and per-range fold tasks reduce to h-slices, so the driver
+ingests only the O(n) value vector, never the histograms (measured
+3× on the 131M-edge near-clique fixture, BENCH/hits_kcore_scale_131M).
 
 The edge streams are treated as UNDIRECTED: each directed edge
 contributes both (u→v) and (v→u). Callers must project a graph whose
