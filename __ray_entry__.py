@@ -1192,6 +1192,24 @@ def _q_dup_rel(sf_dir: str, strategy: str) -> pa.Table:
 
 
 
+def _sampled_ngram_cand(docs) -> pd.DataFrame:
+    """Deterministic candidate-pair sample shared by the n-gram
+    queries: every 25th doc with ≥5 chars (shorter docs have ZERO
+    5-gram shingles in the SQL recompute but one zero-padded shingle
+    in the vectorized kernel — excluding them keeps the pair sets
+    identical on both sides), all a<b pairs."""
+    ids_df = docs.map_batches(
+        lambda df: df.loc[
+            (df["doc_id"] % 25 == 0) & (df["text"].str.len() >= 5), ["doc_id"]
+        ],
+        batch_format="pandas",
+        batch_size=None,
+    ).to_pandas()
+    ids = np.sort(ids_df["doc_id"].to_numpy(np.int64))
+    ia, ib = np.triu_indices(len(ids), 1)
+    return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+
 def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     """Exact n-gram (k=5 char-shingle) Jaccard over a deterministic
     candidate-pair sample (every 25th doc, all a<b pairs) — the exact
@@ -1201,14 +1219,7 @@ def _q_ngram_jaccard(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.dedup import ngram_jaccard_pairs
 
     docs = _docs(sf_dir)
-    ids_df = docs.map_batches(
-        lambda df: df.loc[df["doc_id"] % 25 == 0, ["doc_id"]],
-        batch_format="pandas",
-        batch_size=None,
-    ).to_pandas()
-    ids = np.sort(ids_df["doc_id"].to_numpy(np.int64))
-    ia, ib = np.triu_indices(len(ids), 1)
-    cand = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    cand = _sampled_ngram_cand(docs)
     out = ngram_jaccard_pairs(docs, cand, k=5)
     return pa.table(
         {
@@ -1226,14 +1237,7 @@ def _q_ngram_containment(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.dedup import ngram_jaccard_pairs
 
     docs = _docs(sf_dir)
-    ids_df = docs.map_batches(
-        lambda df: df.loc[df["doc_id"] % 25 == 0, ["doc_id"]],
-        batch_format="pandas",
-        batch_size=None,
-    ).to_pandas()
-    ids = np.sort(ids_df["doc_id"].to_numpy(np.int64))
-    ia, ib = np.triu_indices(len(ids), 1)
-    cand = pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    cand = _sampled_ngram_cand(docs)
     out = ngram_jaccard_pairs(docs, cand, k=5, metric="containment")
     return pa.table(
         {
@@ -2526,7 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rel_skip": f"WITH {_PAIRS_DUP} SELECT src, dst, MIN(qty) AS w FROM pairs GROUP BY src, dst",
         "dup_rel_count": f"WITH {_PAIRS_DUP} SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY src, dst",
         "ngram_jaccard": """
-WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 5),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ids a JOIN ids b ON a.doc_id < b.doc_id
@@ -2553,7 +2557,7 @@ JOIN sizes na ON na.doc_id = c.doc_a
 JOIN sizes nb ON nb.doc_id = c.doc_b
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "ngram_containment": """
-WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 5),
 cand AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM ids a JOIN ids b ON a.doc_id < b.doc_id

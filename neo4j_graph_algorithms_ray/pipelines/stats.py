@@ -18,49 +18,45 @@ def degree_assortativity(graph) -> float:
     """Edge-wise degree correlation (Newman 2002): the Pearson
     correlation of (out_deg[src], in_deg[dst]) over the directed edge
     stream — the classic web-graph mixing statistic (hub-to-hub vs
-    hub-to-leaf linking). One streamed map over the edge Dataset with
-    the dense degree vectors broadcast once; each block folds to SIX
-    scalars (count, Σx, Σy, Σxy, Σx², Σy²), so the driver combine is
-    O(blocks) regardless of m. Matches SQL ``CORR(dx, dy)``."""
+    hub-to-leaf linking). Marginal moments come straight from the
+    degree vectors (Σ_edges f(src) = Σ_v out_deg[v]·f(v) — no edge
+    pass needed); only the CENTERED cross term Σ(x−x̄)(y−ȳ) streams
+    over the edge Dataset, one scalar per block, so the driver combine
+    is O(blocks) and the computation avoids the raw-moment
+    cancellation (sxx/n − mean²) that a naive one-pass fold hits on
+    near-uniform degree distributions. Matches SQL ``CORR(dx, dy)``
+    (itself a numerically stable centered algorithm)."""
     import ray
 
-    sg = graph.sharded()
-    dout = sg.degree("out")
-    din = sg.degree("in")
-    x_ref, y_ref = ray.put(dout), ray.put(din)
+    dout = graph.out_degree().astype(np.float64)
+    din = graph.in_degree().astype(np.float64)
+    m = float(dout.sum())  # = number of edges
+    if m == 0:
+        return float("nan")
+    # edge-weighted marginal means/variances: src marginal weights each
+    # vertex by its out-degree, dst marginal by its in-degree
+    mx = float((dout * dout).sum()) / m
+    my = float((din * din).sum()) / m
+    vx = float((dout * (dout - mx) ** 2).sum()) / m
+    vy = float((din * (din - my) ** 2).sum()) / m
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    x_ref, y_ref = ray.put(dout - mx), ray.put(din - my)
 
     def partial(batch: pa.Table) -> pa.Table:
         si = batch["si"].to_numpy(zero_copy_only=False)
         di = batch["di"].to_numpy(zero_copy_only=False)
-        x = ray.get(x_ref)[si]
-        y = ray.get(y_ref)[di]
-        return pa.table(
-            {
-                "n": np.array([float(len(x))]),
-                "sx": np.array([x.sum()]),
-                "sy": np.array([y.sum()]),
-                "sxy": np.array([(x * y).sum()]),
-                "sxx": np.array([(x * x).sum()]),
-                "syy": np.array([(y * y).sum()]),
-            }
-        )
+        cx = ray.get(x_ref)[si]
+        cy = ray.get(y_ref)[di]
+        return pa.table({"sxy": np.array([(cx * cy).sum()])})
 
-    tot = np.zeros(6, dtype=np.float64)
+    sxy = 0.0
     for b in (
         graph.edges.map_batches(partial, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=None)
     ):
-        for j, c in enumerate(("n", "sx", "sy", "sxy", "sxx", "syy")):
-            tot[j] += b[c].to_numpy(zero_copy_only=False).sum()
-    n, sx, sy, sxy, sxx, syy = tot
-    if n == 0:
-        return float("nan")
-    cov = sxy / n - (sx / n) * (sy / n)
-    vx = sxx / n - (sx / n) ** 2
-    vy = syy / n - (sy / n) ** 2
-    if vx <= 0 or vy <= 0:
-        return float("nan")
-    return float(cov / np.sqrt(vx * vy))
+        sxy += b["sxy"].to_numpy(zero_copy_only=False).sum()
+    return float((sxy / m) / np.sqrt(vx * vy))
 
 
 def reciprocity(graph) -> float:

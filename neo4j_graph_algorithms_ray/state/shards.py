@@ -844,6 +844,11 @@ class ShardedGraph:
         case) most vertices stay active most rounds and the filter
         only costs the O(m/P) marking pass."""
         if changed is not None:
+            if not changed.any():
+                # post-fixpoint round (fixed_rounds past convergence):
+                # no input moved, so no h can move — skip the O(m)
+                # marking fan-out entirely
+                return vals.copy()
             c_ref = ray.put(changed)
             acts = ray.get(
                 [
