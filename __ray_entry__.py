@@ -790,6 +790,12 @@ def _q_reciprocity(sf_dir: str) -> pa.Table:
     return pa.table({"reciprocity": np.array([round(r, 6)], dtype=np.float64)})
 
 
+def _q_avg_neighbor_degree(sf_dir: str) -> pa.Table:
+    from neo4j_graph_algorithms_ray.pipelines.stats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_graph(sf_dir, "cyclic"))
+
+
 def _q_degree_histogram(sf_dir: str) -> pa.Table:
     g = _graph(sf_dir, "bipartite")
     deg = g.out_degree().astype(np.int64)
@@ -1289,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "louvain_communities": _q_louvain,
         "infomap_modules": _q_infomap,
         "mst_total_weight": _q_mst_total_weight,
@@ -2589,6 +2596,14 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",
+        "avg_neighbor_degree": f"""WITH {_E_CYC},
+dout AS (SELECT src AS vid, COUNT(*) AS d FROM edges GROUP BY src),
+per AS (
+  SELECT e.src, AVG(COALESCE(d2.d, 0)::DOUBLE) AS a
+  FROM edges e LEFT JOIN dout d2 ON d2.vid = e.dst GROUP BY e.src
+)
+SELECT d.d AS out_deg, ROUND(AVG(p.a), 6) AS avg_neighbor_out_deg
+FROM per p JOIN dout d ON d.vid = p.src GROUP BY d.d""",
         "reciprocity": f"""WITH {_E_CYC}
 SELECT ROUND(
   (SELECT COUNT(*) FROM edges a JOIN edges b

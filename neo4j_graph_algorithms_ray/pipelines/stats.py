@@ -108,6 +108,30 @@ def reciprocity(graph) -> float:
     return float(recip / total) if total else float("nan")
 
 
+def avg_neighbor_degree(graph) -> pa.Table:
+    """knn(k) (Pastor-Satorras et al.): for each out-degree class k,
+    the mean over degree-k vertices of their mean out-neighbor
+    out-degree — the degree-correlation curve behind the
+    assortativity scalar. One REVERSE scatter on the shard pool
+    (Σ_{u→v} deg[v] accumulated at u — the same transposed kernel
+    HITS' hub update uses) + O(n) driver grouping; no edge table
+    pass beyond the scatter."""
+    deg = graph.sharded().degree("out")
+    nbr_sum = graph.sharded().scatter_sum(deg, reverse=True)
+    mask = deg > 0
+    per_v = nbr_sum[mask] / deg[mask]
+    k = deg[mask].astype(np.int64)
+    uniq, inv = np.unique(k, return_inverse=True)
+    sums = np.bincount(inv, weights=per_v, minlength=len(uniq))
+    cnts = np.bincount(inv, minlength=len(uniq))
+    return pa.table(
+        {
+            "out_deg": uniq,
+            "avg_neighbor_out_deg": np.round(sums / cnts, 6),
+        }
+    )
+
+
 def size_percentiles(labels: np.ndarray, qs=_QS) -> pa.Table:
     """(stat, value) rows for a per-vertex label assignment: set_count
     plus the q-th percentiles of the label-group sizes. ``labels`` is
