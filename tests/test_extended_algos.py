@@ -443,3 +443,69 @@ def test_kcore_range_split_fold_matches_driver_fold():
     present = np.zeros(n, dtype=bool)
     present[g.vids] = True
     assert np.array_equal(got[present], expect[present])
+
+
+# ----------------------------------------------------------------------
+# graph-statistics operators (round-4): brute-force numpy oracles
+# ----------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 5])
+def test_degree_assortativity_matches_bruteforce(seed):
+    from neo4j_graph_algorithms_ray.pipelines.stats import degree_assortativity
+
+    rng = np.random.default_rng(seed)
+    n, m = 120, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    key = np.unique(src[keep].astype(np.int64) * n + dst[keep])
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+    vids = g.vids
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    dout = np.bincount(si, minlength=g.n).astype(float)
+    din = np.bincount(di, minlength=g.n).astype(float)
+    x, y = dout[si], din[di]
+    expect = np.corrcoef(x, y)[0, 1]
+    got = degree_assortativity(g)
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_reciprocity_bruteforce_and_extremes():
+    from neo4j_graph_algorithms_ray.pipelines.stats import reciprocity
+
+    # fully reciprocal 2-cycle + one one-way edge: r = 2/3
+    g = GraphTables.from_arrays(
+        np.array([0, 1, 2]), np.array([1, 0, 3])
+    )
+    assert reciprocity(g) == pytest.approx(2.0 / 3.0)
+    # no reciprocal pairs
+    g2 = GraphTables.from_arrays(np.array([0, 1]), np.array([1, 2]))
+    assert reciprocity(g2) == pytest.approx(0.0)
+
+
+def test_avg_neighbor_degree_matches_bruteforce():
+    from neo4j_graph_algorithms_ray.pipelines.stats import avg_neighbor_degree
+
+    rng = np.random.default_rng(2)
+    n, m = 60, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    key = np.unique(src[keep].astype(np.int64) * n + dst[keep])
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+    vids = g.vids
+    si = np.searchsorted(vids, src)
+    di = np.searchsorted(vids, dst)
+    dout = np.bincount(si, minlength=g.n).astype(float)
+    got = avg_neighbor_degree(g).to_pandas().set_index("out_deg")
+    for k in got.index:
+        vs = [
+            dout[di[si == v]].mean()
+            for v in range(g.n)
+            if dout[v] == k
+        ]
+        assert got.loc[k, "avg_neighbor_out_deg"] == pytest.approx(
+            np.mean(vs), abs=1e-5
+        )
