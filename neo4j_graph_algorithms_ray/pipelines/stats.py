@@ -67,8 +67,6 @@ def reciprocity(graph) -> float:
     folds to two scalars, so the driver combine is O(blocks). Edges
     are assumed distinct (the projected graphs guarantee it);
     self-loops count as reciprocal."""
-    import ray.data  # noqa: F401  (Dataset already materialized)
-
     from ..state.partitioning import keyed_repartition, shuffle_width
 
     def pairs(batch: pa.Table) -> pa.Table:
