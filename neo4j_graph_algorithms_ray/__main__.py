@@ -202,6 +202,7 @@ def main(argv=None) -> int:
             "rounds": res.iterations,
             "converged": res.converged,
             "max_coreness": int(res.coreness.max()) if graph.n else 0,
+            "frontier_sizes": res.metrics["frontier_sizes"],
         }
     elif args.pipeline == "triangle_count":
         from .pipelines.triangles import triangle_count
