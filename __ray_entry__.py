@@ -1349,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_words": _q_cms_top_words,
         "effective_diameter": _q_eff_diameter,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "tfidf_top5": _q_tfidf,
         "unigram_logloss": _q_unigram_logloss,
         "token_length_percentiles": _q_token_percentiles,
@@ -2242,6 +2243,14 @@ def _q_kmeans_clusters(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.similarity import kmeans_clusters
 
     return kmeans_clusters(_emb(sf_dir), n_centroids=16, train_iters=4)
+
+
+def _q_semantic_dedup(sf_dir: str) -> Any:
+    from neo4j_graph_algorithms_ray.pipelines.similarity import semantic_dedup
+
+    # 0.35: the synthetic embeddings are near-orthogonal (max pairwise
+    # cosine ≈0.51 at sf0.01), same rationale as embedding_neardup
+    return semantic_dedup(_emb(sf_dir), threshold=0.35)
 
 
 def _q_hll_distinct_words(sf_dir: str) -> Any:
@@ -3271,6 +3280,18 @@ FROM vertices v LEFT JOIN edges e ON e.src = v.vid GROUP BY v.vid""",
         "hyperanf_npairs": _anf_sql(4),
         "cms_top_words": _cms_sql(20),
         "kmeans_clusters": _kmeans_sql(16, 4),
+        "semantic_dedup": (
+            "WITH " + ",".join(_lloyd_parts(16, 4, 64)) + """,
+v AS (SELECT a.vec_id, a.cl, e.embedding::DOUBLE[] AS emb
+      FROM afin a JOIN embeddings e ON e.vec_id = a.vec_id)
+SELECT v.vec_id, v.cl AS cluster,
+  NOT EXISTS (
+    SELECT 1 FROM v u
+    WHERE u.cl = v.cl AND u.vec_id < v.vec_id
+      AND list_cosine_similarity(u.emb, v.emb) >= 0.35
+  ) AS kept
+FROM v"""
+        ),
         "effective_diameter": f"""WITH anf AS (
   SELECT * FROM ({_anf_sql(6)}) t
 ), fin AS (SELECT n_pairs AS nf FROM anf WHERE t = 6)

@@ -518,6 +518,76 @@ def kmeans_clusters(
     return embeddings.map_batches(f, batch_format="pyarrow")
 
 
+def semantic_dedup(
+    embeddings: "rd.Dataset",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    train_iters: int = 4,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "rd.Dataset":
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    the shared k-means codebook, then keep, per cluster, only vectors
+    with no LOWER-id near-duplicate (cosine ≥ threshold) in the same
+    cluster — the deterministic "leader" variant of the paper's
+    within-cluster pruning. The cluster assignment bounds the
+    quadratic: within-cluster all-pairs is the design (cluster count
+    should scale ~n/1000 in production so cells stay small); pairs
+    that land in different cells are missed by construction, the
+    documented SemDeDup recall tradeoff. One keyed exchange on the
+    cluster id; the per-block work is a per-cluster blocked matmul
+    (the loop is over clusters, not rows). Returns
+    ``(vec_id, cluster, kept)``."""
+    cent = train_kmeans(
+        embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
+    )
+    c_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _to_matrix(t, vec_col)
+        return pa.table(
+            {
+                "vec_id": _ids_i64(t, id_col),
+                "cluster": _kmeans_assign(m, c).astype(np.int64),
+                vec_col: t[vec_col],
+            }
+        )
+
+    ex = keyed_repartition(
+        embeddings.map_batches(assign, batch_format="pyarrow"),
+        shuffle_width(source_size_bytes(embeddings)),
+        ["cluster"],
+    )
+
+    def dedup_block(t: pa.Table, _thr=threshold) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "kept": pa.array([], pa.bool_())}
+        )
+        if not t.num_rows:
+            return empty
+        vid = _ids_i64(t, "vec_id")
+        cl = _ids_i64(t, "cluster")
+        m = _normalize(_to_matrix(t, vec_col))
+        order = np.lexsort((vid, cl))
+        vid, cl, m = vid[order], cl[order], m[order]
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.append(starts[1:], len(cl))
+        kept = np.ones(len(vid), dtype=bool)
+        for s, e in zip(starts, ends):  # per CLUSTER, not per row
+            if e - s < 2:
+                continue
+            sims = m[s:e] @ m[s:e].T
+            dup = (np.triu(sims, 1) >= _thr).any(axis=0)
+            kept[s:e] &= ~dup
+        return pa.table({"vec_id": vid, "cluster": cl, "kept": kept})
+
+    return ex.map_batches(dedup_block, batch_format="pyarrow", batch_size=None)
+
+
 def ivf_topk(
     embeddings: "rd.Dataset",
     query_ids: list[int],

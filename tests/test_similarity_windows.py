@@ -586,3 +586,38 @@ def test_lsh_neardup_recall_threshold_adjacent_pairs():
         key = (n_noise + i, n_noise + n_pairs + i)
         if key in by:
             assert abs(by[key] - t) < 1e-3
+
+
+def test_semantic_dedup_leader_rule():
+    from neo4j_graph_algorithms_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.standard_normal((40, dim))
+    rows = [v for v in base]
+    # plant near-dups of vectors 0 and 1 (tiny perturbations land in
+    # the same k-means cell)
+    rows.append(base[0] + 1e-4 * rng.standard_normal(dim))  # id 40
+    rows.append(base[0] + 1e-4 * rng.standard_normal(dim))  # id 41
+    rows.append(base[1] + 1e-4 * rng.standard_normal(dim))  # id 42
+    m = np.array(rows, dtype=np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {"vec_id": np.arange(len(m), dtype=np.int64), "embedding": list(m)}
+        )
+    )
+    out = (
+        semantic_dedup(emb, threshold=0.95, n_centroids=4, train_iters=3)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(m)
+    # leaders (lowest id of each near-dup set) survive, copies don't
+    assert bool(out.loc[0, "kept"]) and bool(out.loc[1, "kept"])
+    assert not bool(out.loc[40, "kept"])
+    assert not bool(out.loc[41, "kept"])
+    assert not bool(out.loc[42, "kept"])
+    # near-orthogonal originals all survive
+    assert out.loc[2:39, "kept"].all()
+    # copies landed in their leader's cluster (sanity on the cell path)
+    assert out.loc[40, "cluster"] == out.loc[0, "cluster"]
