@@ -107,6 +107,7 @@ _BENCH_QUERIES = [
     "chunk_documents",
     "hits_k10",
     "kcore",
+    "semantic_dedup",
 ]
 
 
