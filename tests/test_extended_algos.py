@@ -509,3 +509,34 @@ def test_avg_neighbor_degree_matches_bruteforce():
         assert got.loc[k, "avg_neighbor_out_deg"] == pytest.approx(
             np.mean(vs), abs=1e-5
         )
+
+
+def test_kcore_range_split_fold_skewed_targets():
+    # all edges concentrated in the LOWEST id range: most fold ranges
+    # receive empty slices; results must still match the driver fold
+    from neo4j_graph_algorithms_ray.pipelines.kcore import kcore
+
+    rng = np.random.default_rng(44)
+    # clique among ids 0..19 plus sparse tail up to 5000
+    e = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+    tail = rng.integers(20, 5000, (200, 2))
+    e += [(min(a, b), max(a, b)) for a, b in tail if a != b]
+    src = np.array([a for a, _ in e], dtype=np.int64)
+    dst = np.array([b for _, b in e], dtype=np.int64)
+    key = np.unique(src * 5000 + dst)
+    src, dst = key // 5000, key % 5000
+    g = GraphTables.from_arrays(src, dst)
+    sg = g.sharded(num_shards=4)
+    r_driver = kcore(g)
+    old_m = sg.m
+    try:
+        sg.m = 20_000_000
+        r_dist = kcore(g)
+    finally:
+        sg.m = old_m
+    assert np.array_equal(r_driver.coreness, r_dist.coreness)
+    # the clique is a 19-core
+    vids = g.vids
+    assert all(
+        r_dist.coreness[np.searchsorted(vids, v)] == 19 for v in range(20)
+    )
