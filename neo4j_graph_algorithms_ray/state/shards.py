@@ -418,6 +418,82 @@ class _EdgeShard:
         ]
         return pieces[0] if len(pieces) == 1 else tuple(pieces)
 
+    def _regmax_grouped(self, M: np.ndarray, group, gather_idx):
+        """Per-group elementwise max of register rows: for each distinct
+        scatter target (``group`` = (order, uniq, starts) over the
+        scatter stream), the columnwise max of ``M[gather_idx]`` rows in
+        its segment. Chunked so the gathered (256k, regs) uint8 contrib
+        stays cache-sized; segments spanning a chunk boundary re-merge
+        through the target slot (max is idempotent). Returns sorted
+        (uniq int64, vals uint8 (len, regs))."""
+        order, uniq, starts = group
+        nu, regs = len(uniq), M.shape[1]
+        m = len(order)
+        if not nu:
+            return uniq.astype(np.int64), np.zeros((0, regs), dtype=np.uint8)
+        C = 1 << 18
+        spans = [(lo, min(lo + C, m)) for lo in range(0, m, C)]
+
+        def run(myspans):
+            out = np.zeros((nu, regs), dtype=np.uint8)
+            for lo, hi in myspans:
+                i0 = int(np.searchsorted(starts, lo, side="right")) - 1
+                i1 = int(np.searchsorted(starts, hi, side="left"))
+                rel = np.maximum(starts[i0:i1], lo) - lo
+                contrib = M[gather_idx[order[lo:hi]].astype(np.intp)]
+                seg = np.maximum.reduceat(contrib, rel, axis=0)
+                np.maximum(out[i0:i1], seg, out=out[i0:i1])
+            return out
+
+        T = self.threads
+        if T > 1 and len(spans) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(T) as ex:
+                outs = list(ex.map(run, [spans[i::T] for i in range(T)]))
+            vals = outs[0]
+            for o in outs[1:]:
+                np.maximum(vals, o, out=vals)
+        else:
+            vals = run(spans)
+        return uniq.astype(np.int64), vals
+
+    def regmax_partial_split(self, cuts: np.ndarray, directed: bool, *slices):
+        """One HyperANF round, shard partial: per-destination columnwise
+        max of the source rows of the (n, regs) uint8 register matrix
+        (both directions when undirected), returned as sparse
+        (uniq, vals) pairs SPLIT at ``cuts`` — invoke with
+        ``num_returns=len(cuts)-1`` so each piece flows straight to its
+        range fold task. The register matrix arrives as per-range
+        slices (plasma objects owned by the previous round's folds)."""
+        M = np.vstack(slices) if len(slices) > 1 else slices[0]
+        u1, v1 = self._regmax_grouped(M, self._dst_group(), self.si)
+        if directed:
+            uniq, vals = u1, v1
+        else:
+            u2, v2 = self._regmax_grouped(M, self._src_group(), self.di)
+            if not len(u1):
+                uniq, vals = u2, v2
+            elif not len(u2):
+                uniq, vals = u1, v1
+            else:
+                # merge two sorted sparse partials by target id
+                cat = np.concatenate([u1, u2])
+                cv = np.vstack([v1, v2])
+                order = np.argsort(cat, kind="stable")
+                cat, cv = cat[order], cv[order]
+                first = np.ones(len(cat), dtype=bool)
+                first[1:] = cat[1:] != cat[:-1]
+                fs = np.flatnonzero(first)
+                uniq = cat[fs]
+                vals = np.maximum.reduceat(cv, fs, axis=0)
+        idx = np.searchsorted(uniq, cuts.astype(np.int64))
+        pieces = [
+            (uniq[idx[r] : idx[r + 1]], vals[idx[r] : idx[r + 1]])
+            for r in range(len(cuts) - 1)
+        ]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
     def _thr_edges(self, thr):
         """Edge streams filtered to weight > thr, memoized per threshold
         (a fixpoint runs many rounds over the same filtered view — the

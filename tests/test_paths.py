@@ -213,6 +213,30 @@ def test_hyperanf_tracks_exact_neighborhood_function():
     assert (np.diff(t.to_numpy()) >= 0).all()
 
 
+def test_hyperanf_sharded_matches_single_task_bit_exact():
+    """The range-sharded shard-pool engine and the single-task gate
+    produce identical n_pairs curves (max-merge is order-independent;
+    the estimator is per-vertex) — directed and undirected, on a
+    random multigraph with self-loops and reciprocal pairs."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_ray.pipelines.anf import hyperanf
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    rng = np.random.default_rng(7)
+    n, m = 300, 2400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = GraphTables.from_arrays(src, dst)
+    for directed in (False, True):
+        a = hyperanf(g, rounds=3, directed=directed, sharded=False).to_pandas()
+        b = hyperanf(g, rounds=3, directed=directed, sharded=True).to_pandas()
+        assert a["t"].tolist() == b["t"].tolist()
+        np.testing.assert_array_equal(
+            a["n_pairs"].to_numpy(), b["n_pairs"].to_numpy()
+        )
+
+
 def test_effective_diameter_star_is_short():
     import numpy as np
 

@@ -621,3 +621,64 @@ def test_semantic_dedup_leader_rule():
     assert out.loc[2:39, "kept"].all()
     # copies landed in their leader's cluster (sanity on the cell path)
     assert out.loc[40, "cluster"] == out.loc[0, "cluster"]
+
+
+def test_semantic_dedup_max_cell_chain_matches_uncapped_for_local_witnesses():
+    """A skewed cell above ``max_cell``: when every duplicate's nearest
+    lower-id witness is within one tile back (adjacent ids — the
+    planted-dup layout), the tile chain drops exactly what the
+    uncapped scan drops. Also pins bounded work: the capped run never
+    materializes a cell² sims matrix (cell=96 vs cap=16)."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    dim = 8
+    # n_centroids=1 forces ONE cell; leaders are near-orthogonal
+    # gaussians (pairwise cosine << threshold), each followed
+    # immediately by its near-copy -> witness distance 1
+    leaders = rng.standard_normal((48, dim))
+    rows = []
+    for v in leaders:
+        rows.append(v)
+        rows.append(v + 1e-6 * rng.standard_normal(dim))
+    m = np.array(rows, dtype=np.float64)
+    emb = rd.from_arrow(
+        pa.table(
+            {"vec_id": np.arange(len(m), dtype=np.int64), "embedding": list(m)}
+        )
+    )
+    uncapped = (
+        semantic_dedup(
+            emb, threshold=0.95, n_centroids=1, train_iters=1,
+            max_cell=1 << 20,
+        )
+        .to_pandas().sort_values("vec_id")["kept"].to_numpy()
+    )
+    capped = (
+        semantic_dedup(
+            emb, threshold=0.95, n_centroids=1, train_iters=1,
+            max_cell=16,
+        )
+        .to_pandas().sort_values("vec_id")["kept"].to_numpy()
+    )
+    np.testing.assert_array_equal(uncapped, capped)
+    # every odd id is a planted copy of the preceding even id
+    assert not capped[1::2].any()
+
+
+def test_semantic_dedup_auto_centroids_small_corpus_is_16():
+    """n_centroids=None auto-sizes to max(16, n//1000) — 16 at fixture
+    sizes, so the fixed SQL oracle is unchanged."""
+    from neo4j_graph_algorithms_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((60, 8))
+    emb = rd.from_arrow(
+        pa.table(
+            {"vec_id": np.arange(len(m), dtype=np.int64), "embedding": list(m)}
+        )
+    )
+    out = semantic_dedup(emb, threshold=0.95).to_pandas()
+    assert len(out) == 60
+    assert out["cluster"].nunique() <= 16
+    assert out["kept"].all()  # random gaussians: no near-dups
