@@ -196,7 +196,30 @@ def main(argv=None) -> int:
     elif args.pipeline == "kcore":
         from .pipelines.kcore import kcore
 
-        res = kcore(graph, fixed_rounds=args.iterations)
+        # contract check (kcore.py module docstring): the kernel treats
+        # the edge list as UNDIRECTED and expects at most ONE
+        # orientation per pair — a graph holding both u->v and v->u
+        # double-counts neighbors and inflates coreness. Arbitrary
+        # user parquet can violate this, so sample and warn.
+        sample = graph.edges.limit(100_000).to_pandas()
+        if len(sample):
+            import numpy as _np
+
+            s = sample["si"].to_numpy()
+            d = sample["di"].to_numpy()
+            key = _np.minimum(s, d) * _np.int64(graph.n) + _np.maximum(s, d)
+            orient = s < d
+            both = len(_np.intersect1d(key[orient], key[~orient]))
+            if both:
+                print(
+                    f"WARNING: kcore input holds BOTH orientations of "
+                    f"{both} sampled pair(s); the kernel counts each "
+                    "orientation as a separate neighbor, inflating "
+                    "coreness. Canonicalize to one row per undirected "
+                    "pair (e.g. keep src<dst) before running.",
+                    file=sys.stderr,
+                )
+        res = kcore(graph, fixed_rounds=args.iterations, checkpoint=ckpt)
         vectors = {"coreness": res.coreness.astype("float64")}
         metrics = {
             "rounds": res.iterations,

@@ -46,6 +46,12 @@ from typing import Optional
 
 import numpy as np
 
+from ..state.checkpoint import (
+    CheckpointConfig,
+    latest_complete,
+    load_iteration,
+    save_iteration,
+)
 from ..state.graph import GraphTables
 
 
@@ -61,12 +67,18 @@ def kcore(
     graph: GraphTables,
     max_rounds: int = 1000,
     fixed_rounds: Optional[int] = None,
+    checkpoint: Optional[CheckpointConfig] = None,
 ) -> KCoreResult:
     """Coreness of every vertex. ``fixed_rounds`` pins the round count
     (extra rounds past the fixpoint are no-ops — the h-operator is
     idempotent at convergence — so a fixed count ≥ the observed
     convergence equals the exact coreness and is oracle-reproducible
-    round-for-round)."""
+    round-for-round). ``checkpoint`` enables per-round parquet
+    checkpoints + resume (state/checkpoint.py — the long dense-graph
+    runs are minutes per round): each round is a pure function of the
+    value vector, so a resumed run is bit-identical; the first resumed
+    round runs unfiltered (the frontier mask is derivable state, and
+    "all active" is the always-sound superset)."""
     sg = graph.sharded()
     deg_in = sg.degree("in")
     deg_out = sg.degree("out")
@@ -75,14 +87,36 @@ def kcore(
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     changed: Optional[np.ndarray] = None  # round 1: everything active
     frontier_sizes = []
+    if checkpoint is not None and checkpoint.resume:
+        k = latest_complete(checkpoint)
+        if k is not None:
+            _, vectors, _ = load_iteration(
+                checkpoint, k, expect_vids=graph.vids
+            )
+            vals = vectors["coreness"].astype(np.int64)
+            it = k
     t0 = time.perf_counter()
     while it < rounds:
+        ti = time.perf_counter()
         new = sg.hindex_round(vals, changed)
         it += 1
         changed = new != vals
         frontier_sizes.append(int(changed.sum()))
         same = not changed.any()
         vals = new
+        if checkpoint is not None and it % checkpoint.every == 0:
+            save_iteration(
+                checkpoint,
+                it,
+                graph.vids,
+                {"coreness": vals},
+                {
+                    "iteration": it,
+                    "frontier": int(changed.sum()),
+                    "seconds": time.perf_counter() - ti,
+                },
+                input_token=graph.token,
+            )
         if same:
             converged = True
             if fixed_rounds is None:

@@ -131,3 +131,36 @@ def test_hits_resume_identical(tmp_path):
     np.testing.assert_array_equal(full.hubs, resumed.hubs)
     np.testing.assert_array_equal(full.auths, resumed.auths)
     assert resumed.iterations == 10
+
+
+def test_kcore_resume_identical(tmp_path):
+    """Kill after 2 h-operator rounds, resume: coreness bit-identical
+    to the uninterrupted run (the first resumed round runs without the
+    frontier mask — the always-sound all-active superset)."""
+    from neo4j_graph_algorithms_ray.pipelines.kcore import (
+        kcore,
+        kcore_peel_oracle,
+    )
+
+    rng = np.random.default_rng(13)
+    n, m = 200, 900
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    key = np.unique(lo * n + hi)
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+
+    full = kcore(g, fixed_rounds=8)
+    ck = CheckpointConfig(dir=str(tmp_path / "kck"), every=1)
+    kcore(g, fixed_rounds=2, checkpoint=ck)
+    assert latest_complete(ck) == 2
+    resumed = kcore(g, fixed_rounds=8, checkpoint=ck)
+    np.testing.assert_array_equal(full.coreness, resumed.coreness)
+    assert latest_complete(ck) == 8
+    # and both equal the exact peel
+    remap = -np.ones(n, dtype=np.int64)
+    remap[g.vids] = np.arange(g.n)
+    oracle = kcore_peel_oracle(remap[src], remap[dst], g.n)
+    np.testing.assert_array_equal(full.coreness, oracle)
