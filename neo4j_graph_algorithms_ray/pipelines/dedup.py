@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 
 from ..stages.minhash import (
-    char_shingles_u64,
+    char_shingle_sets_batch,
     hamming64,
     lsh_band_matrix,
 )
@@ -772,25 +772,41 @@ def ngram_jaccard_pairs(
         sel = counts > 0
         if not sel.any():
             return _SHINGLE_SCHEMA.empty_table()
-        texts = t[text_col].to_pylist()
         sel_idx = np.flatnonzero(sel)
         sel_ids = ids[sel]
-        # one shingle set per participating doc (vectorized per doc),
-        # shipped once per pair it appears in (either side) as an Arrow
-        # LARGE_BINARY column — no Python-object pickling through the
-        # hash exchange, and the score stage reads the value/offset
-        # buffers zero-copy
-        blobs = np.array(
-            [char_shingles_u64(texts[i], k).tobytes() for i in sel_idx],
-            dtype=object,
-        )
+        # one shingle set per participating doc — BATCHED
+        # (char_shingle_sets_batch: one rolling-hash pass over the
+        # selected docs' concatenated utf-8 Arrow buffer + one lexsort
+        # dedup; bit-identical per doc to char_shingles_u64, no
+        # per-row Python) — shipped once per pair it appears in
+        # (either side) as an Arrow LARGE_BINARY column built straight
+        # from the uint64 buffers; the score stage reads the
+        # value/offset buffers zero-copy
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals, soffs = char_shingle_sets_batch(col.take(pa.array(sel_idx)), k)
         counts = counts[sel]
         homes = fhome[_ranges_gather(lo[sel], counts)]
+        rep_starts = np.repeat(soffs[:-1], counts)
+        rep_lens = np.repeat(np.diff(soffs), counts)
+        out_vals = vals[_ranges_gather(rep_starts, rep_lens)]
+        byte_offs = np.zeros(len(rep_lens) + 1, dtype=np.int64)
+        np.cumsum(rep_lens * 8, out=byte_offs[1:])
+        shingles = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(rep_lens),
+            [
+                None,
+                pa.py_buffer(byte_offs.tobytes()),
+                pa.py_buffer(out_vals.tobytes()),
+            ],
+        )
         return pa.table(
             {
                 "home": homes,
                 "doc_id": np.repeat(sel_ids, counts),
-                "shingles": pa.array(np.repeat(blobs, counts), pa.large_binary()),
+                "shingles": shingles,
             }
         )
 

@@ -68,6 +68,25 @@ def minhash_signatures_batch(
     ``texts`` may be a pyarrow string array/chunked array (utf-8 bytes
     read straight off the Arrow buffers — no Python string round-trip)
     or any iterable of Python strings."""
+    acc, seg, _counts, n = _batch_window_hashes(texts, k)
+    a, b = _rng_params(num_perm, seed)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    out = np.empty((num_perm, n), dtype=np.uint64)
+    for j in range(num_perm):
+        out[j] = np.minimum.reduceat(a[j] * acc + b[j], seg)
+    return out.T.copy()
+
+
+def _batch_window_hashes(texts, k: int):
+    """All docs' k-shingle rolling hashes in one pass: k gathers
+    against the batch's concatenated utf-8 bytes. Returns
+    ``(acc, seg, counts, n)`` — the doc-major window-hash stream, the
+    per-doc segment starts into it, windows per doc, and doc count.
+    Shared by :func:`minhash_signatures_batch` (per-permutation
+    segmented min) and :func:`char_shingle_sets_batch` (per-doc
+    sorted-unique sets); bit-identical per doc to
+    ``char_shingles_u64`` before its ``np.unique``."""
     import pyarrow as pa
 
     if isinstance(texts, pa.ChunkedArray):
@@ -84,9 +103,13 @@ def minhash_signatures_batch(
             else np.zeros(0, dtype=np.uint8)
         )
     n = len(offs) - 1
-    a, b = _rng_params(num_perm, seed)
     if n == 0:
-        return np.empty((0, num_perm), dtype=np.uint64)
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            0,
+        )
     lens = np.diff(offs)
     counts = np.maximum(lens - k + 1, 1)  # short docs pad to ONE window
     seg = np.zeros(n, dtype=np.int64)  # acc segment starts per doc
@@ -118,11 +141,30 @@ def minhash_signatures_batch(
         for i in range(k):
             av = av * base + mat[:, i]
         acc[seg[~long_mask]] = av
+    return acc, seg, counts, n
 
-    out = np.empty((num_perm, n), dtype=np.uint64)
-    for j in range(num_perm):
-        out[j] = np.minimum.reduceat(a[j] * acc + b[j], seg)
-    return out.T.copy()
+
+def char_shingle_sets_batch(texts, k: int = 5):
+    """Per-doc SORTED-UNIQUE shingle sets for a whole batch — the
+    batched form of ``char_shingles_u64`` (bit-identical per doc,
+    property-tested): one rolling-hash pass over the concatenated
+    utf-8 buffer, one (doc, value) lexsort, one adjacent-equal dedup.
+    Returns ``(values, offsets)`` — the concatenated uint64 sets and
+    int64 offsets (doc i's set is ``values[offsets[i]:offsets[i+1]]``)
+    — ready to view as Arrow large_binary buffers with no per-doc
+    Python."""
+    acc, _seg, counts, n = _batch_window_hashes(texts, k)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((acc, doc))
+    acc, doc = acc[order], doc[order]
+    keep = np.ones(len(acc), dtype=bool)
+    keep[1:] = (acc[1:] != acc[:-1]) | (doc[1:] != doc[:-1])
+    acc, doc = acc[keep], doc[keep]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(doc, minlength=n), out=offsets[1:])
+    return acc, offsets
 
 
 def _ranges(counts: np.ndarray) -> np.ndarray:

@@ -630,6 +630,35 @@ def test_minhash_signatures_batch_matches_perdoc():
     assert np.array_equal(want, minhash_signatures_batch(ch, 64))
 
 
+def test_char_shingle_sets_batch_matches_perdoc():
+    # the batched set kernel must be BIT-identical to char_shingles_u64
+    # (sorted-unique per doc) for every input shape, including the
+    # Arrow buffer paths and sliced/chunked arrays
+    from neo4j_graph_algorithms_ray.stages.minhash import (
+        char_shingle_sets_batch,
+        char_shingles_u64,
+    )
+
+    texts = ["", "ab", "abcde", "the quick brown fox " * 9,
+             "ünïcodé tèxt ø∂ƒ", "x" * 300, "word " * 50]
+    want = [char_shingles_u64(t) for t in texts]
+
+    def check(arg):
+        vals, offs = char_shingle_sets_batch(arg)
+        assert len(offs) == len(texts) + 1
+        for i, w in enumerate(want):
+            np.testing.assert_array_equal(vals[offs[i] : offs[i + 1]], w)
+
+    check(texts)
+    check(pa.array(texts, pa.string()))
+    check(pa.array(texts, pa.large_string()))
+    check(pa.array(["pad", "pad2"] + texts).slice(2))
+    check(pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])]))
+    # empty batch
+    v, o = char_shingle_sets_batch([])
+    assert len(v) == 0 and o.tolist() == [0]
+
+
 def test_ngram_containment_doc_in_doc():
     import pandas as pd
 

@@ -50,7 +50,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     scored = int(out["jaccard"].notna().sum())
     rec = {
-        "what": "ngram_jaccard_pairs vectorized verify (round-4)",
+        "what": "ngram_jaccard_pairs batched-shingle verify (round-5)",
         "n_docs": n_docs,
         "n_candidate_pairs": int(len(pairs)),
         "n_scored": scored,
