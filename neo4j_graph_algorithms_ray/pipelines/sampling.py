@@ -9,12 +9,19 @@ larger hashes). The selection is a monotone top-k per stratum, so it
 distributes as partial top-k per block + final top-k per stratum:
 the shuffle carries at most ``cap × blocks`` rows per stratum, never
 the corpus.
+
+All stages are zero-copy Arrow (round-5 pandas burn-down): the
+stratum histograms fold ``count_all`` partials over a pruned
+single-column scan, stratum→value maps apply via ``pc.index_in``
+gathers, and the per-stratum top-k is a lexsort + rank mask — no
+pandas frame is ever built.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # Knuth multiplicative hash; 2654435761 = 2^32 / phi. SQL-recomputable
@@ -25,6 +32,36 @@ _HASH_MOD = np.uint64(1) << np.uint64(32)
 
 def _sample_hash(ids: np.ndarray) -> np.ndarray:
     return ((ids.astype(np.uint64) * _HASH_MULT) % _HASH_MOD).astype(np.int64)
+
+
+def _stratum_hist(docs: "rd.Dataset", stratum_col: str) -> dict:
+    """Map-side partial stratum histogram folded on the driver — one
+    int per stratum. The scan is pruned to the single stratum column
+    (the docs table's text never leaves the read)."""
+    hist: dict = {}
+    for t in (
+        docs.select_columns([stratum_col])
+        .map_batches(
+            lambda t, _c=stratum_col: t.group_by(_c).aggregate(
+                [([], "count_all")]
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for k, v in zip(t[stratum_col].to_pylist(), t["count_all"].to_pylist()):
+            hist[k] = hist.get(k, 0) + int(v)
+    return hist
+
+
+def _stratum_gather(strat: "pa.ChunkedArray", mapping_ref) -> np.ndarray:
+    """stratum → value, vectorized: one ``pc.index_in`` against the
+    broadcast key array + one numpy gather."""
+    import ray as _ray
+
+    keys, vals = _ray.get(mapping_ref)
+    idx = pc.index_in(strat, value_set=keys).to_numpy(zero_copy_only=False)
+    return vals[idx.astype(np.int64)]
 
 
 def rebalance_weights(
@@ -47,33 +84,52 @@ def rebalance_weights(
     maps stratum → weight. No shuffle at all."""
     import ray
 
-    hist: dict = {}
-    for b in docs.map_batches(
-        lambda df: df.groupby(stratum_col, as_index=False).size(),
-        batch_format="pandas",
-    ).iter_batches(batch_format="pandas"):
-        for k, v in zip(b[stratum_col], b["size"]):
-            hist[k] = hist.get(k, 0) + int(v)
+    hist = _stratum_hist(docs, stratum_col)
     total = float(sum(hist.values())) or 1.0
-    weights = {
-        k: float(np.floor((v / total) ** (alpha - 1.0) * 1e6 + 0.5) / 1e6)
-        for k, v in hist.items()
-    }
-    w_ref = ray.put(weights)
+    keys = list(hist)
+    w_ref = ray.put(
+        (
+            pa.array(keys),
+            np.array(
+                [
+                    np.floor((hist[k] / total) ** (alpha - 1.0) * 1e6 + 0.5)
+                    / 1e6
+                    for k in keys
+                ],
+                dtype=np.float64,
+            ),
+        )
+    )
 
-    def apply(df: pd.DataFrame, _w=w_ref) -> pd.DataFrame:
-        import ray as _ray
-
-        w = _ray.get(_w)
-        return pd.DataFrame(
+    def apply(t: pa.Table, _w=w_ref) -> pa.Table:
+        return pa.table(
             {
-                "doc_id": df[id_col].to_numpy(np.int64),
-                stratum_col: df[stratum_col],
-                "weight": df[stratum_col].map(w).to_numpy(np.float64),
+                "doc_id": t[id_col].cast(pa.int64()),
+                stratum_col: t[stratum_col],
+                "weight": _stratum_gather(t[stratum_col], _w),
             }
         )
 
-    return docs.map_batches(apply, batch_format="pandas")
+    return docs.select_columns([id_col, stratum_col]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+def _head_per_stratum(
+    strat_np: np.ndarray, hv: np.ndarray, ids: np.ndarray, cap: int
+):
+    """Indices (into the input arrays) of the ≤``cap`` rows per stratum
+    with the smallest (hv, doc_id), ordered (stratum, hv, doc_id) —
+    one lexsort + one rank-within-run mask, no per-group loop."""
+    order = np.lexsort((ids, hv, strat_np))
+    s = strat_np[order]
+    first = np.ones(len(s), dtype=bool)
+    if len(s):
+        first[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(first)
+    runs = np.diff(np.append(starts, len(s)))
+    pos = np.arange(len(s), dtype=np.int64) - np.repeat(starts, runs)
+    return order[pos < cap]
 
 
 def stratified_sample(
@@ -96,33 +152,38 @@ def stratified_sample(
         source_size_bytes,
     )
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        strat = t[stratum_col].to_numpy(zero_copy_only=False)
+        hv = _sample_hash(ids)
+        keep = _head_per_stratum(strat, hv, ids, cap)
+        return pa.table(
             {
-                "doc_id": df[id_col].to_numpy(np.int64),
-                "stratum": df[stratum_col],
-                "hv": _sample_hash(df[id_col].to_numpy(np.int64)),
+                "doc_id": ids[keep],
+                "stratum": pa.array(strat[keep]),
+                "hv": hv[keep],
             }
         )
-        out = out.sort_values(["stratum", "hv", "doc_id"], kind="stable")
-        return out.groupby("stratum", sort=False).head(cap).reset_index(drop=True)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["hv", "doc_id"], kind="stable")
-        df = df.groupby("stratum", sort=False).head(cap)
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"].to_numpy(np.int64),
-             stratum_col: df["stratum"]}
-        ).reset_index(drop=True)
+    def final(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        strat = t["stratum"].to_numpy(zero_copy_only=False)
+        hv = t["hv"].to_numpy(zero_copy_only=False)
+        keep = _head_per_stratum(strat, hv, ids, cap)
+        return pa.table(
+            {"doc_id": ids[keep], stratum_col: pa.array(strat[keep])}
+        )
 
     # the shuffled partial table is cap-bounded per (stratum, block) —
     # never larger than the input — so an input-bytes width is an
     # upper bound and small corpora fold in one block
     return keyed_repartition(
-        docs.map_batches(partial, batch_format="pandas"),
+        docs.select_columns([id_col, stratum_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
         shuffle_width(source_size_bytes(docs)),
         ["stratum"],
-    ).map_batches(final, batch_format="pandas", batch_size=None)
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
 def weighted_sample(
@@ -144,33 +205,29 @@ def weighted_sample(
     broadcast, one streamed filter pass, no shuffle."""
     import ray
 
-    hist: dict = {}
-    for b in docs.map_batches(
-        lambda df: df.groupby(stratum_col, as_index=False).size(),
-        batch_format="pandas",
-    ).iter_batches(batch_format="pandas"):
-        for k, v in zip(b[stratum_col], b["size"]):
-            hist[k] = hist.get(k, 0) + int(v)
+    hist = _stratum_hist(docs, stratum_col)
     total = float(sum(hist.values())) or 1.0
-    thr = {}
-    for k, v in hist.items():
-        w = float(np.floor((v / total) ** (alpha - 1.0) * 1e6 + 0.5) / 1e6)
-        p = min(w * scale, 1.0)
-        thr[k] = int(np.floor(p * 4294967296.0))
-    t_ref = ray.put(thr)
+    keys = list(hist)
+    lims = []
+    for k in keys:
+        w = float(np.floor((hist[k] / total) ** (alpha - 1.0) * 1e6 + 0.5) / 1e6)
+        lims.append(int(np.floor(min(w * scale, 1.0) * 4294967296.0)))
+    t_ref = ray.put((pa.array(keys), np.array(lims, dtype=np.int64)))
 
-    def keep(df: pd.DataFrame, _t=t_ref) -> pd.DataFrame:
-        import ray as _ray
-
-        t = _ray.get(_t)
-        hv = _sample_hash(df[id_col].to_numpy(np.int64))
-        lim = df[stratum_col].map(t).to_numpy(np.int64)
+    def keep(t: pa.Table, _t=t_ref) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = _sample_hash(ids)
+        lim = _stratum_gather(t[stratum_col], _t)
         m = hv < lim
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df[id_col].to_numpy(np.int64)[m],
-                stratum_col: df[stratum_col].to_numpy()[m],
+                "doc_id": ids[m],
+                stratum_col: t[stratum_col].combine_chunks().filter(
+                    pa.array(m)
+                ),
             }
         )
 
-    return docs.map_batches(keep, batch_format="pandas")
+    return docs.select_columns([id_col, stratum_col]).map_batches(
+        keep, batch_format="pyarrow"
+    )
