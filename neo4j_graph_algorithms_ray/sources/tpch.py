@@ -285,8 +285,13 @@ def part_blocks_edges(sf_dir: str) -> pa.Table:
     k = ("pblocks", sf_dir)
     if k in _CACHE:
         return _CACHE[k]
+    import pyarrow.parquet as pq
+
     parts = _read(sf_dir, "part", ["p_partkey"])
-    n = parts.count()
+    # row count from the parquet footer — a Dataset.count() here costs
+    # a full streaming execution (~0.5 s of fixed driver overhead) for
+    # a number the file metadata already holds
+    n = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
 
     def expand(batch: pa.Table) -> pa.Table:
         a = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -300,8 +305,24 @@ def part_blocks_edges(sf_dir: str) -> pa.Table:
             {"u": np.concatenate(outs_s), "v": np.concatenate(outs_d)}
         )
 
-    pairs = parts.map_batches(expand, batch_format="pyarrow", batch_size=None)
-    t = _distinct_pairs(pairs, "u", "v")
+    # each (a, a+d) is emitted exactly once from the unique p_partkey
+    # column, so the pairs are distinct BY CONSTRUCTION — the
+    # _distinct_pairs exchange the other derives need would be a
+    # second full streaming execution for a no-op; one driver-side
+    # sort keeps the table in the same (u, v) order it produced
+    chunks = list(
+        parts.map_batches(expand, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    t = (
+        pa.concat_tables(chunks)
+        if chunks
+        else pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    t = pa.table({"u": u[order], "v": v[order]})
     _CACHE[k] = t
     return t
 
