@@ -73,13 +73,18 @@ def _init_registers(vids: np.ndarray) -> np.ndarray:
     return M
 
 
+# 2^-rank lookup: a 256-entry gather instead of an (n, 64) int64
+# temporary — same exact doubles (each entry is a power of two)
+_POW2_NEG = np.ldexp(1.0, -np.arange(256, dtype=np.int64))
+
+
 def _estimate_vec(M: np.ndarray) -> np.ndarray:
     """Per-vertex HLL estimate (small-range branch included). Each
     2^-rank term is an exact double and realistic rank spans stay
     under 53 bits, so the per-vertex register sum — and therefore the
     small-range branch condition — is bit-identical to the SQL SUM
     regardless of summation order."""
-    ssum = np.ldexp(1.0, -M.astype(np.int64)).sum(axis=1)
+    ssum = _POW2_NEG[M].sum(axis=1)
     zeros = (M == 0).sum(axis=1)
     raw = _ANF_C / ssum
     small = (raw <= 2.5 * _ANF_M) & (zeros > 0)

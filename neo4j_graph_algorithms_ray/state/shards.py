@@ -487,6 +487,13 @@ class _EdgeShard:
                 fs = np.flatnonzero(first)
                 uniq = cat[fs]
                 vals = np.maximum.reduceat(cv, fs, axis=0)
+        if len(uniq):
+            # registers are monotone (fold = max with the old slice),
+            # so rows that improve nothing are no-ops — drop them
+            # before the exchange. Late rounds collapse to the still-
+            # growing frontier, like k-core's changed-mask filter.
+            imp = (vals > M[uniq]).any(axis=1)
+            uniq, vals = uniq[imp], vals[imp]
         idx = np.searchsorted(uniq, cuts.astype(np.int64))
         pieces = [
             (uniq[idx[r] : idx[r + 1]], vals[idx[r] : idx[r + 1]])
