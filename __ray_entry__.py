@@ -774,6 +774,78 @@ def _q_kcore(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids, "coreness": res.coreness})
 
 
+def _q_greedy_coloring(sf_dir: str) -> pa.Table:
+    """Jones-Plassmann greedy coloring over the part_blocks fixture
+    (disjoint near-clique 8-blocks — degree ≤ 6, so convergence is
+    bounded by the block size and greedy colors ≤ 7). Deterministic:
+    the priority is the dense rank of (splitmix64(vid), vid), so the
+    unrolled SQL oracle replays the synchronous rounds exactly
+    (pipelines/coloring.py; bound pinned in
+    tests/test_extended_algos.py)."""
+    from neo4j_graph_algorithms_ray.pipelines.coloring import greedy_coloring
+
+    g = _graph(sf_dir, "part_blocks")
+    res = greedy_coloring(g)
+    return pa.table({"vid": g.vids, "color": res.colors})
+
+
+def _coloring_sql(rounds: int = 10) -> str:
+    """Exact SQL recomputation of pipelines/coloring.py
+    greedy_coloring over pb_und: priority = dense rank of
+    (splitmix64(vid), vid) via the shared mix-chain macro; per round,
+    uncolored vertices whose priority exceeds every uncolored
+    neighbor's take the min color absent from their colored
+    neighborhood. Rounds past the fixpoint are no-ops; 10 ≥ the
+    block-size-bounded convergence (≤ 8) at every SF."""
+    ctes = [
+        _E_PBLK.strip(),
+        "px AS MATERIALIZED (SELECT vid AS wd, vid::UBIGINT AS x FROM pb_vertices)",
+    ]
+    ctes += _mix_chain_ctes("pm", "px", carry="wd")
+    ctes.append(
+        "prio AS MATERIALIZED (SELECT wd AS vid,"
+        " (rank() OVER (ORDER BY x, wd) - 1)::BIGINT AS p FROM pmh)"
+    )
+    ctes.append(
+        "c0 AS MATERIALIZED (SELECT vid, (-1)::BIGINT AS color FROM pb_vertices)"
+    )
+    for r in range(rounds):
+        ctes.append(
+            f"""mx{r} AS MATERIALIZED (
+  SELECT e.a AS vid, MAX(p.p) AS mp
+  FROM pb_und e
+  JOIN c{r} cu ON cu.vid = e.b AND cu.color < 0
+  JOIN prio p ON p.vid = e.b
+  GROUP BY e.a)"""
+        )
+        ctes.append(
+            f"""cand{r} AS MATERIALIZED (
+  SELECT c.vid FROM c{r} c
+  JOIN prio p ON p.vid = c.vid
+  LEFT JOIN mx{r} m ON m.vid = c.vid
+  WHERE c.color < 0 AND p.p > COALESCE(m.mp, -1))"""
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+  SELECT cd.vid,
+         (SELECT MIN(t.k) FROM range(0, 64) t(k)
+          WHERE t.k NOT IN (
+            SELECT cc.color FROM pb_und e JOIN c{r} cc ON cc.vid = e.b
+            WHERE e.a = cd.vid AND cc.color >= 0))::BIGINT AS color
+  FROM cand{r} cd)"""
+        )
+        ctes.append(
+            f"""c{r + 1} AS MATERIALIZED (
+  SELECT c.vid, COALESCE(pk.color, c.color) AS color
+  FROM c{r} c LEFT JOIN pick{r} pk ON pk.vid = c.vid)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vid, color FROM c{rounds} ORDER BY vid"
+    )
+
+
 def _q_degree_assortativity(sf_dir: str) -> pa.Table:
     from neo4j_graph_algorithms_ray.pipelines.stats import degree_assortativity
 
@@ -1292,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector_top10": _q_eigenvector_top10,
         "hits_k10": _q_hits_k10,
         "kcore": _q_kcore,
+        "greedy_coloring": _q_greedy_coloring,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -2602,6 +2675,7 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "SELECT h.vid, ROUND(h.val, 6) AS hub, ROUND(a.val, 6) AS auth "
         "FROM h10 h JOIN a10 a ON a.vid = h.vid",
         "kcore": f"WITH {_E_BIP}, {_kcore_cte(8)} SELECT vid, val AS coreness FROM k8",
+        "greedy_coloring": _coloring_sql(10),
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",

@@ -749,6 +749,35 @@ class _EdgeShard:
         starts = np.flatnonzero(first)
         return t_s[starts], l_s[starts], np.add.reduceat(w_s, starts)
 
+    # ------------------------------------------------------------------
+    # greedy-coloring round: two decomposable partials per target
+    # ------------------------------------------------------------------
+    def coloring_partials(
+        self, colors: np.ndarray, prio: np.ndarray, W: int, dense_n: int
+    ):
+        """One Jones-Plassmann round, shard partial (undirected — both
+        orientations swept): per target, (a) the max priority among
+        UNCOLORED neighbors (max-fold, -1 when none) and (b) the OR of
+        colored neighbors' color bitmasks ((dense_n, W) uint64,
+        or-fold). Colors are < 64·W by the caller's degree-derived
+        sizing."""
+        maxp = np.full(dense_n, -1, dtype=np.int64)
+        mask = np.zeros((dense_n, W), dtype=np.uint64)
+        for a, b in ((self.si, self.di), (self.di, self.si)):
+            nc = colors[a]
+            unc = nc < 0
+            if unc.any():
+                np.maximum.at(maxp, b[unc], prio[a[unc]])
+            col_t = b[~unc]
+            col_c = nc[~unc]
+            if len(col_t):
+                np.bitwise_or.at(
+                    mask,
+                    (col_t, col_c >> 6),
+                    np.uint64(1) << (col_c & 63).astype(np.uint64),
+                )
+        return maxp, mask
+
 
 def _fold_hindex(
     key_parts: list, cnt_parts: list, base_vals: np.ndarray, lo: int
@@ -980,6 +1009,23 @@ class ShardedGraph:
         return _fold_hindex(
             [p[0] for p in parts], [p[1] for p in parts], vals, 0
         )
+
+    def coloring_round(
+        self, colors: np.ndarray, prio: np.ndarray, W: int
+    ) -> tuple:
+        """One greedy-coloring round over the pool: max-fold of the
+        uncolored-neighbor priorities and or-fold of the neighbor
+        color bitmasks (both decomposable; O(n·(1+W)) driver ingest —
+        dense-path only, the caller gates on DENSE_MAX_N)."""
+        c_ref, p_ref = ray.put(colors), ray.put(prio)
+        futs = [
+            a.coloring_partials.remote(c_ref, p_ref, W, self.n)
+            for a in self.actors
+        ]
+        parts = ray.get(futs)
+        maxp = np.maximum.reduce([p[0] for p in parts])
+        mask = np.bitwise_or.reduce([p[1] for p in parts])
+        return maxp, mask
 
     def min_round(self, labels: np.ndarray, use_star: bool = True) -> np.ndarray:
         lab_ref = ray.put(labels)

@@ -540,3 +540,67 @@ def test_kcore_range_split_fold_skewed_targets():
     assert all(
         r_dist.coreness[np.searchsorted(vids, v)] == 19 for v in range(20)
     )
+
+
+def test_greedy_coloring_proper_and_matches_replay_oracle():
+    """Distributed Jones-Plassmann vs the single-machine synchronous
+    replay: identical colors (same priority permutation, same
+    candidate rule, same min-excluded pick), and the coloring is
+    proper on every edge."""
+    from neo4j_graph_algorithms_ray.pipelines.coloring import (
+        coloring_oracle,
+        greedy_coloring,
+    )
+
+    rng = np.random.default_rng(17)
+    n, m = 400, 1600
+    a = rng.integers(0, n, m)
+    b = rng.integers(0, n, m)
+    keep = a < b  # one orientation per pair (the kernel contract)
+    key = np.unique(a[keep] * n + b[keep])
+    src, dst = key // n, key % n
+    # ensure every vid 0..n-1 appears (oracle assumes dense == original)
+    src = np.concatenate([src, np.arange(n - 1, dtype=np.int64)])
+    dst = np.concatenate([dst, np.full(n - 1, n - 1, dtype=np.int64)])
+    keep2 = src != dst
+    key = np.unique(src[keep2] * n + dst[keep2])
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+    assert g.n == n and np.array_equal(g.vids, np.arange(n))
+    res = greedy_coloring(g)
+    assert res.converged
+    # proper: no edge joins equal colors
+    assert (res.colors[src] != res.colors[dst]).all()
+    # bit-identical to the synchronous replay
+    want = coloring_oracle(src, dst, n)
+    np.testing.assert_array_equal(res.colors, want)
+    # deterministic across runs
+    res2 = greedy_coloring(g)
+    np.testing.assert_array_equal(res.colors, res2.colors)
+    # fixed rounds past the fixpoint are no-ops
+    res3 = greedy_coloring(g, fixed_rounds=res.iterations + 5)
+    np.testing.assert_array_equal(res.colors, res3.colors)
+
+
+def test_greedy_coloring_block_fixture_round_bound():
+    """On disjoint blocks of 8 (the part_blocks shape) convergence is
+    bounded by the block size, so the 10-round unrolled SQL oracle is
+    always ≥ the engine's round count."""
+    from neo4j_graph_algorithms_ray.pipelines.coloring import greedy_coloring
+
+    n = 800
+    a = np.arange(n, dtype=np.int64)
+    srcs, dsts = [], []
+    for d in (1, 2, 3):
+        b = a + d
+        m = (b // 8 == a // 8) & (b < n)
+        srcs.append(a[m])
+        dsts.append(b[m])
+    src, dst = np.concatenate(srcs), np.concatenate(dsts)
+    g = GraphTables.from_arrays(src, dst)
+    res = greedy_coloring(g)
+    assert res.converged and res.iterations <= 8
+    assert (res.colors[np.searchsorted(g.vids, src)]
+            != res.colors[np.searchsorted(g.vids, dst)]).all()
+    # degree <= 6 -> greedy colors <= 7
+    assert res.n_colors <= 7
