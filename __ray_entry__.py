@@ -774,6 +774,22 @@ def _q_kcore(sf_dir: str) -> pa.Table:
     return pa.table({"vid": g.vids, "coreness": res.coreness})
 
 
+def _q_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity Q of the Louvain partition on part_blocks —
+    the canonical community-quality scalar (the engine computes it
+    shard-side per level, pipelines/louvain.py q_of). One row, rounded
+    half-away to 6 decimals; the SQL oracle recomputes Q from the
+    unrolled-round communities with the identical per-community terms
+    (integer-valued s_in/tot, one division each), so only the
+    summation order differs — ~1e-14 against a 1e-6 rounding grid."""
+    from neo4j_graph_algorithms_ray.pipelines.louvain import louvain
+
+    g = _graph(sf_dir, "part_blocks")
+    res = louvain(g)
+    q = float(np.floor(res.modularity * 1e6 + 0.5) / 1e6)
+    return pa.table({"modularity": np.array([q], dtype=np.float64)})
+
+
 def _q_greedy_coloring(sf_dir: str) -> pa.Table:
     """Jones-Plassmann greedy coloring over the part_blocks fixture
     (disjoint near-clique 8-blocks — degree ≤ 6, so convergence is
@@ -1365,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_k10": _q_hits_k10,
         "kcore": _q_kcore,
         "greedy_coloring": _q_greedy_coloring,
+        "modularity": _q_modularity,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -2676,6 +2693,19 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "FROM h10 h JOIN a10 a ON a.vid = h.vid",
         "kcore": f"WITH {_E_BIP}, {_kcore_cte(8)} SELECT vid, val AS coreness FROM k8",
         "greedy_coloring": _coloring_sql(10),
+        "modularity": f"""WITH {_E_PBLK}, {_louvain_cte(8)},
+tot AS (SELECT f.c, SUM(d.k) AS t FROM fin f JOIN deg d ON d.vid = f.vid GROUP BY f.c),
+intra AS (
+  SELECT fa.c, COUNT(*)::DOUBLE AS s_in
+  FROM pb_edges e
+  JOIN fin fa ON fa.vid = e.u
+  JOIN fin fb ON fb.vid = e.v AND fb.c = fa.c
+  GROUP BY fa.c),
+q AS (
+  SELECT SUM(COALESCE(i.s_in, 0.0) / ((SELECT s FROM m2) / 2.0)
+           - (t.t / (SELECT s FROM m2)) * (t.t / (SELECT s FROM m2))) AS q
+  FROM tot t LEFT JOIN intra i ON i.c = t.c)
+SELECT FLOOR(q * 1000000 + 0.5) / 1000000 AS modularity FROM q""",
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",
