@@ -790,6 +790,20 @@ def _q_modularity(sf_dir: str) -> pa.Table:
     return pa.table({"modularity": np.array([q], dtype=np.float64)})
 
 
+def _q_conductance(sf_dir: str) -> pa.Table:
+    """Per-community conductance of the Louvain partition on
+    part_blocks (pipelines/stats.py conductance — cuts from the
+    community-contracted shard exchange, volumes from the degree
+    vectors). All inputs are integer-valued doubles with one division,
+    so the SQL recomputation is exact on the shared 1e-6 grid."""
+    from neo4j_graph_algorithms_ray.pipelines.louvain import louvain
+    from neo4j_graph_algorithms_ray.pipelines.stats import conductance
+
+    g = _graph(sf_dir, "part_blocks")
+    res = louvain(g)
+    return conductance(g, res.communities)
+
+
 def _q_greedy_coloring(sf_dir: str) -> pa.Table:
     """Jones-Plassmann greedy coloring over the part_blocks fixture
     (disjoint near-clique 8-blocks — degree ≤ 6, so convergence is
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "greedy_coloring": _q_greedy_coloring,
         "modularity": _q_modularity,
+        "conductance_louvain": _q_conductance,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -2706,6 +2721,33 @@ q AS (
            - (t.t / (SELECT s FROM m2)) * (t.t / (SELECT s FROM m2))) AS q
   FROM tot t LEFT JOIN intra i ON i.c = t.c)
 SELECT FLOOR(q * 1000000 + 0.5) / 1000000 AS modularity FROM q""",
+        "conductance_louvain": f"""WITH {_E_PBLK}, {_louvain_cte(8)},
+cm AS (SELECT f.vid, l.community FROM fin f JOIN lab l USING (c)),
+vol AS (
+  SELECT community, SUM(d.k) AS vol
+  FROM cm JOIN deg d USING (vid) GROUP BY community),
+cutp AS (
+  SELECT ca.community AS community, COUNT(*)::DOUBLE AS w
+  FROM pb_edges e
+  JOIN cm ca ON ca.vid = e.u
+  JOIN cm cb ON cb.vid = e.v
+  WHERE ca.community <> cb.community
+  GROUP BY ca.community
+  UNION ALL
+  SELECT cb.community, COUNT(*)::DOUBLE
+  FROM pb_edges e
+  JOIN cm ca ON ca.vid = e.u
+  JOIN cm cb ON cb.vid = e.v
+  WHERE ca.community <> cb.community
+  GROUP BY cb.community),
+cut AS (SELECT community, SUM(w) AS cut FROM cutp GROUP BY community)
+SELECT v.community,
+       FLOOR(CASE WHEN LEAST(v.vol, (SELECT s FROM m2) - v.vol) > 0
+                  THEN COALESCE(c.cut, 0.0)
+                       / LEAST(v.vol, (SELECT s FROM m2) - v.vol)
+                  ELSE 0.0 END * 1000000 + 0.5) / 1000000 AS conductance
+FROM vol v LEFT JOIN cut c USING (community)
+ORDER BY community""",
         "degree_histogram": f"WITH {_E_BIP} "
         "SELECT out_deg, COUNT(*)::BIGINT AS cnt FROM "
         "(SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) GROUP BY out_deg",

@@ -604,3 +604,35 @@ def test_greedy_coloring_block_fixture_round_bound():
             != res.colors[np.searchsorted(g.vids, dst)]).all()
     # degree <= 6 -> greedy colors <= 7
     assert res.n_colors <= 7
+
+
+def test_conductance_matches_bruteforce():
+    from neo4j_graph_algorithms_ray.pipelines.stats import conductance
+
+    rng = np.random.default_rng(21)
+    n, m = 120, 500
+    a, b = rng.integers(0, n, m), rng.integers(0, n, m)
+    keep = a < b
+    key = np.unique(a[keep] * n + b[keep])
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+    # arbitrary 3-way partition labels over dense vertices
+    labels = (np.arange(g.n) % 3).astype(np.int64) * 100
+    out = conductance(g, labels).to_pandas().set_index("community")
+    # brute force per community
+    dsrc = np.searchsorted(g.vids, src)
+    ddst = np.searchsorted(g.vids, dst)
+    deg = np.zeros(g.n)
+    np.add.at(deg, dsrc, 1.0)
+    np.add.at(deg, ddst, 1.0)
+    m2 = deg.sum()
+    for c in (0, 100, 200):
+        inside = labels == c
+        vol = deg[inside].sum()
+        cut = ((inside[dsrc] != inside[ddst])).sum()
+        want = cut / min(vol, m2 - vol) if min(vol, m2 - vol) > 0 else 0.0
+        got = out.loc[c, "conductance"]
+        assert abs(got - np.floor(want * 1e6 + 0.5) / 1e6) < 1e-12
+    # single-community partition: denominator 0 -> 0.0
+    one = conductance(g, np.zeros(g.n, dtype=np.int64)).to_pandas()
+    assert len(one) == 1 and one["conductance"][0] == 0.0
