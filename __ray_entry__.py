@@ -293,6 +293,94 @@ def _q_dedup_against(sf_dir: str) -> Any:
     return dedup_against(new, prior)
 
 
+def _q_bloom_dedup(sf_dir: str) -> Any:
+    """Bloom-filter incremental dedup over the same injected-overlap
+    fixture as ``dedup_against_prior`` (pipelines/dedup.py
+    bloom_dedup_against — O(bits/8) broadcast instead of the exact
+    sha anti-join's exchange; deterministic splitmix64 bit positions,
+    so the SQL oracle replays the filter bit-for-bit and parity holds
+    even if a false positive ever fires)."""
+    from neo4j_graph_algorithms_ray.pipelines.dedup import bloom_dedup_against
+
+    docs = _docs(sf_dir)
+    sentinel = "shared sentinel document already ingested last crawl"
+
+    def split(keep_prior: bool, mod: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["doc_id"] % 5 == 0) == keep_prior
+            out = df[m].reset_index(drop=True)
+            out.loc[out["doc_id"] % mod == 0, "text"] = sentinel
+            return out
+
+        return f
+
+    prior = docs.map_batches(split(True, 3), batch_format="pandas")
+    new = docs.map_batches(split(False, 7), batch_format="pandas")
+    return bloom_dedup_against(new, prior, bits=1 << 20, hashes=4)
+
+
+def _bloom_sql(bits: int = 1 << 20, hashes: int = 4) -> str:
+    """Exact SQL replay of pipelines/dedup.py bloom_dedup_against on
+    the dedup_against_prior fixture: position_i = splitmix64(h +
+    i·GOLD mod 2^64) mod bits with h = first 16 hex chars of
+    sha256(text); a new doc survives iff at least one of its
+    ``hashes`` positions is set by NO prior doc."""
+    gold = 0x9E3779B97F4A7C15
+    ctes = [
+        """pri AS MATERIALIZED (
+  SELECT DISTINCT ('0x' || substr(sha256(CASE WHEN doc_id % 3 = 0
+    THEN 'shared sentinel document already ingested last crawl'
+    ELSE text END), 1, 16))::UBIGINT AS h
+  FROM documents WHERE doc_id % 5 = 0)""",
+        """nw AS MATERIALIZED (
+  SELECT doc_id, sha256(CASE WHEN doc_id % 7 = 0
+    THEN 'shared sentinel document already ingested last crawl'
+    ELSE text END) AS sha
+  FROM documents WHERE doc_id % 5 <> 0)""",
+        "nwh AS MATERIALIZED (SELECT doc_id,"
+        " ('0x' || substr(sha, 1, 16))::UBIGINT AS h FROM nw)",
+    ]
+    ppos, npos = [], []
+    for i in range(hashes):
+        c = (i * gold) % (1 << 64)
+        ctes.append(
+            f"pb{i} AS (SELECT 0 AS wd,"
+            f" ((h::HUGEINT + {c}::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM pri)"
+        )
+        ctes += _mix_chain_ctes(f"pm{i}_", f"pb{i}", carry="wd")
+        ctes.append(
+            f"ppos{i} AS (SELECT (x % {bits})::BIGINT AS pos FROM pm{i}_h)"
+        )
+        ppos.append(f"SELECT pos FROM ppos{i}")
+        ctes.append(
+            f"nb{i} AS (SELECT doc_id AS wd,"
+            f" ((h::HUGEINT + {c}::HUGEINT)"
+            f" % 18446744073709551616::HUGEINT)::UBIGINT AS x FROM nwh)"
+        )
+        ctes += _mix_chain_ctes(f"nm{i}_", f"nb{i}", carry="wd")
+        ctes.append(
+            f"npos{i} AS (SELECT wd AS doc_id, (x % {bits})::BIGINT AS pos"
+            f" FROM nm{i}_h)"
+        )
+        npos.append(f"SELECT doc_id, pos FROM npos{i}")
+    ctes.append(
+        "prior_pos AS MATERIALIZED (" + " UNION ".join(ppos) + ")"
+    )
+    ctes.append("new_pos AS (" + " UNION ALL ".join(npos) + ")")
+    ctes.append(
+        """kept AS (
+  SELECT DISTINCT np.doc_id FROM new_pos np
+  WHERE NOT EXISTS (SELECT 1 FROM prior_pos p WHERE p.pos = np.pos))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT n.doc_id, n.sha FROM nw n JOIN kept k USING (doc_id)"
+        + " ORDER BY n.doc_id"
+    )
+
+
 def _q_dedup_keep_canonical(sf_dir: str) -> Any:
     from neo4j_graph_algorithms_ray.pipelines.dedup import dedup_keep_canonical
 
@@ -1434,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_groups": _q_minhash_groups,
         "dedup_keep_canonical": _q_dedup_keep_canonical,
         "dedup_against_prior": _q_dedup_against,
+        "bloom_dedup_prior": _q_bloom_dedup,
         "simhash_groups": _q_simhash_groups,
         "embedding_neardup": _q_embedding_neardup,
         "doc_fingerprints": _q_fingerprints,
@@ -3238,6 +3327,7 @@ FROM t GROUP BY source""",
 )
 SELECT n.doc_id, n.sha FROM nw n
 WHERE NOT EXISTS (SELECT 1 FROM pri p WHERE p.sha = n.sha)""",
+        "bloom_dedup_prior": _bloom_sql(1 << 20, 4),
         "euclidean_topk": """WITH q AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
 ),

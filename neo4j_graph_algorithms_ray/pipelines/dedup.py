@@ -1163,3 +1163,104 @@ def dedup_against(
         width,
         ["sha"],
     ).map_batches(fold, batch_format="pandas", batch_size=None)
+
+
+_BLOOM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sha_prefix_u64(sha) -> np.ndarray:
+    """First 16 hex chars of each sha256 as uint64 (the SQL mirror is
+    ``('0x' || substr(sha, 1, 16))::UBIGINT``)."""
+    return np.array([int(s[:16], 16) for s in sha], dtype=np.uint64)
+
+
+def bloom_dedup_against(
+    docs: "rd.Dataset",
+    prior: "rd.Dataset",
+    *,
+    bits: int = 1 << 20,
+    hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "rd.Dataset":
+    """Approximate incremental ingest dedup: a Bloom filter of the
+    prior corpus's content-sha prefixes, built as per-batch OR
+    partials (the HLL-register pattern), broadcast ONCE via
+    ``ray.put``, and probed in one streamed pass over the new docs —
+    no exchange at all. This is the 100-TB-scale counterpart of the
+    exact :func:`dedup_against` anti-join: the filter is ``bits/8``
+    bytes (128 KiB at the default 2^20) REGARDLESS of prior-corpus
+    size, where the exact path must shuffle the full sha set.
+
+    One-sided error: every kept doc is guaranteed absent from the
+    prior corpus; a genuinely-new doc whose ``hashes`` bit positions
+    all collide is dropped as a false positive at rate
+    ≈ (1 − e^(−k·n/m))^k (~1e-11 at n=10⁴, m=2^20, k=4 — size
+    ``bits`` ≈ 10–16 × prior-count for production runs).
+
+    Deterministic and exactly SQL-recomputable: position_i =
+    splitmix64(h + i·0x9E3779B97F4A7C15 mod 2^64) mod bits, with h
+    the first 16 hex chars of sha256(text) — the oracle replays the
+    same bit arithmetic, so parity holds even if a false positive
+    ever fires. Emits ``(doc_id, sha)`` survivors like the exact op.
+    """
+    import ray
+
+    from .sketches import mix64
+
+    if bits & (bits - 1):
+        raise ValueError("bits must be a power of two")
+    words = bits // 64
+
+    def positions(h: np.ndarray, i: int) -> np.ndarray:
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the definition
+            return mix64(h + np.uint64(i) * _BLOOM_GOLD) % np.uint64(bits)
+
+    def build_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _sha_prefix_u64(sha256_hex(df[text_col]))
+        w = np.zeros(words, dtype=np.uint64)
+        for i in range(hashes):
+            pos = positions(h, i)
+            np.bitwise_or.at(
+                w,
+                (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+        nz = np.flatnonzero(w)  # ship only set words (sparse partials)
+        return pd.DataFrame({"word": nz.astype(np.int64), "bits": w[nz]})
+
+    filt = np.zeros(words, dtype=np.uint64)
+    for b in (
+        prior.map_batches(build_partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=None)
+    ):
+        np.bitwise_or.at(
+            filt,
+            b["word"].to_numpy(np.int64),
+            b["bits"].to_numpy().astype(np.uint64),
+        )
+    f_ref = ray.put(filt)
+
+    def probe(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+        import ray as _ray
+
+        F = _ray.get(_f)
+        sha = sha256_hex(df[text_col])
+        h = _sha_prefix_u64(sha)
+        member = np.ones(len(h), dtype=bool)
+        for i in range(hashes):
+            pos = positions(h, i)
+            bit = (
+                F[(pos >> np.uint64(6)).astype(np.int64)]
+                >> (pos & np.uint64(63))
+            ) & np.uint64(1)
+            member &= bit.astype(bool)
+        keep = ~member
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(np.int64)[keep],
+                "sha": np.asarray(sha)[keep],
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pandas")

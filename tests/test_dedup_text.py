@@ -680,3 +680,48 @@ def test_ngram_containment_doc_in_doc():
 
     with _pytest.raises(ValueError):
         ngram_jaccard_pairs(docs, cand, metric="dice")
+
+
+def test_bloom_dedup_one_sided_vs_exact():
+    """Bloom incremental dedup: every kept doc is guaranteed new
+    (kept ⊆ exact anti-join's kept at ANY filter size), planted prior
+    duplicates are always dropped, and at the default sizing the
+    result equals the exact op on this corpus."""
+    import ray.data as rd
+
+    from neo4j_graph_algorithms_ray.pipelines.dedup import (
+        bloom_dedup_against,
+        dedup_against,
+    )
+
+    texts = [f"document body number {i} with unique content" for i in range(60)]
+    prior_texts = [texts[i] for i in range(0, 60, 4)] + [
+        f"retired doc {j}" for j in range(10)
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": np.arange(60, dtype=np.int64), "text": texts})
+    )
+    prior = rd.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(1000, 1000 + len(prior_texts), dtype=np.int64),
+             "text": prior_texts}
+        )
+    )
+    exact = set(dedup_against(docs, prior).to_pandas()["doc_id"])
+    kept = set(
+        bloom_dedup_against(docs, prior, bits=1 << 16, hashes=4)
+        .to_pandas()["doc_id"]
+    )
+    assert kept == exact  # negligible FP odds at this sizing
+    # tiny filter: false positives may drop extra docs, never keep dups
+    tiny = set(
+        bloom_dedup_against(docs, prior, bits=64, hashes=2)
+        .to_pandas()["doc_id"]
+    )
+    assert tiny <= exact
+    # planted prior duplicates (ids 0,4,8,...) never survive
+    assert not (set(range(0, 60, 4)) & kept)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_dedup_against(docs, prior, bits=100)  # not a power of two
