@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
+import ray
 
 from ..state.graph import GraphTables
 
@@ -90,6 +91,27 @@ def _min_excluded(mask_rows: np.ndarray) -> np.ndarray:
     return out
 
 
+@ray.remote
+def _coloring_fold_range(
+    lo: int, hi: int, colors: np.ndarray, prio: np.ndarray, *parts
+):
+    """Range fold task (the k-core range-split pattern): max/or-fold
+    the shards' [lo, hi) partial slices and emit the range's NEW
+    colors — the per-round decision is range-local (it reads only the
+    vertex's own priority/color and its folded neighbor partials), so
+    the driver ingests R color slices (O(n) total), never the
+    S×n×(1+W) partials."""
+    maxp = np.maximum.reduce([p[0] for p in parts])
+    mask = np.bitwise_or.reduce([p[1] for p in parts])
+    c = colors[lo:hi]
+    p = prio[lo:hi]
+    cand = (c < 0) & (p > maxp)
+    new = c.copy()
+    if cand.any():
+        new[cand] = _min_excluded(mask[cand])
+    return new
+
+
 def greedy_coloring(
     graph: GraphTables,
     max_rounds: int = 10_000,
@@ -97,15 +119,13 @@ def greedy_coloring(
 ) -> ColoringResult:
     """Color every vertex; no edge joins two equal colors. Fixed round
     counts past the fixpoint are no-ops (everything is colored), so a
-    fixed count ≥ the observed convergence is oracle-reproducible."""
+    fixed count ≥ the observed convergence is oracle-reproducible.
+    Above the k-core range-split threshold (10M edges, multi-shard)
+    or the dense-fold ceiling, rounds run through per-range fold
+    tasks (``_coloring_fold_range``) — bit-identical to the dense
+    driver fold (pinned in tests)."""
     sg = graph.sharded()
     n = graph.n
-    if n > sg.DENSE_MAX_N:
-        raise NotImplementedError(
-            "greedy_coloring's dense O(n·W) fold is gated at "
-            f"{sg.DENSE_MAX_N} vertices; the upgrade is the k-core "
-            "range-split fold (shards already emit per-range slices)"
-        )
     prio = _priority(graph)
     deg = (sg.degree("in") + sg.degree("out")).astype(np.int64)
     maxdeg = int(deg.max()) if n else 0
@@ -119,12 +139,38 @@ def greedy_coloring(
     colors = np.full(n, -1, dtype=np.int64)
     rounds = fixed_rounds if fixed_rounds is not None else max_rounds
     it, converged = 0, False
+    range_fold = n > sg.DENSE_MAX_N or (
+        sg.m >= 10_000_000 and len(sg.actors) > 1
+    )
+    if range_fold:
+        R = max(2, len(sg.actors))
+        cuts = np.linspace(0, n, R + 1).astype(np.int64)
+        cuts_ref = ray.put(cuts)
+    p_ref = ray.put(prio)
     t0 = time.perf_counter()
     while it < rounds:
         if not (colors < 0).any():
             converged = True
             if fixed_rounds is None:
                 break
+            it += 1
+            continue
+        if range_fold:
+            c_ref = ray.put(colors)
+            futs = [
+                a.coloring_partials_split.options(num_returns=R).remote(
+                    c_ref, p_ref, W, cuts_ref
+                )
+                for a in sg.actors
+            ]
+            folds = [
+                _coloring_fold_range.remote(
+                    int(cuts[r]), int(cuts[r + 1]), c_ref, p_ref,
+                    *[futs[s][r] for s in range(len(sg.actors))]
+                )
+                for r in range(R)
+            ]
+            colors = np.concatenate(ray.get(folds))
             it += 1
             continue
         maxp, mask = sg.coloring_round(colors, prio, W)

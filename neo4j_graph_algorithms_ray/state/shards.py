@@ -778,6 +778,20 @@ class _EdgeShard:
                 )
         return maxp, mask
 
+    def coloring_partials_split(
+        self, colors: np.ndarray, prio: np.ndarray, W: int, cuts: np.ndarray
+    ):
+        """``coloring_partials`` split at range cuts — invoke with
+        ``num_returns=len(cuts)-1`` so each (maxp, mask) slice flows
+        straight to its range fold task (the k-core range-split
+        pattern: the driver never ingests the S×n×(1+W) partials)."""
+        maxp, mask = self.coloring_partials(colors, prio, W, int(cuts[-1]))
+        pieces = [
+            (maxp[cuts[r] : cuts[r + 1]], mask[cuts[r] : cuts[r + 1]])
+            for r in range(len(cuts) - 1)
+        ]
+        return pieces[0] if len(pieces) == 1 else tuple(pieces)
+
 
 def _fold_hindex(
     key_parts: list, cnt_parts: list, base_vals: np.ndarray, lo: int

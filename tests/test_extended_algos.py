@@ -636,3 +636,28 @@ def test_conductance_matches_bruteforce():
     # single-community partition: denominator 0 -> 0.0
     one = conductance(g, np.zeros(g.n, dtype=np.int64)).to_pandas()
     assert len(one) == 1 and one["conductance"][0] == 0.0
+
+
+def test_greedy_coloring_range_split_fold_matches_dense():
+    """Force the range-split fold path on a small graph (the k-core
+    pattern: inflate sg.m) — colors bit-identical to the dense driver
+    fold."""
+    from neo4j_graph_algorithms_ray.pipelines.coloring import greedy_coloring
+
+    rng = np.random.default_rng(29)
+    n, m = 300, 1400
+    a, b = rng.integers(0, n, m), rng.integers(0, n, m)
+    keep = a < b
+    key = np.unique(a[keep] * n + b[keep])
+    src, dst = key // n, key % n
+    g = GraphTables.from_arrays(src, dst)
+    sg = g.sharded(num_shards=4)
+    dense = greedy_coloring(g)
+    old_m = sg.m
+    try:
+        sg.m = 20_000_000
+        ranged = greedy_coloring(g)
+    finally:
+        sg.m = old_m
+    np.testing.assert_array_equal(dense.colors, ranged.colors)
+    assert ranged.converged and ranged.iterations == dense.iterations
