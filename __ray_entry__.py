@@ -878,6 +878,88 @@ def _q_modularity(sf_dir: str) -> pa.Table:
     return pa.table({"modularity": np.array([q], dtype=np.float64)})
 
 
+def _q_ktruss(sf_dir: str) -> pa.Table:
+    """5-truss of an AUGMENTED block fixture (pipelines/truss.py):
+    part_blocks' d ≤ 3 edges plus (a, a+4) edges in EVEN blocks only.
+    Even blocks then support every edge with ≥ 3 triangles and
+    survive whole; odd blocks (max support 2) cascade away over two
+    peel rounds — a selective result that exercises deletion,
+    recomputation AND the fixpoint. The synchronous peel is replayed
+    round-for-round by the unrolled SQL; the block motif repeats at
+    every SF, so convergence is structure-bounded (≤ 3 rounds,
+    pinned in tests/test_extended_algos.py)."""
+    import pyarrow.parquet as pq
+
+    from neo4j_graph_algorithms_ray.pipelines.truss import ktruss
+    from neo4j_graph_algorithms_ray.state.graph import GraphTables
+
+    n = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows
+    keys = (
+        pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"]
+        )["p_partkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    srcs, dsts = [], []
+    for d in (1, 2, 3):
+        b = keys + d
+        m = (b // 8 == keys // 8) & (b < n)
+        srcs.append(keys[m])
+        dsts.append(b[m])
+    b = keys + 4
+    m = (b // 8 == keys // 8) & (b < n) & ((keys // 8) % 2 == 0)
+    srcs.append(keys[m])
+    dsts.append(b[m])
+    g = GraphTables.from_arrays(np.concatenate(srcs), np.concatenate(dsts))
+    res = ktruss(g, k=5)
+    return pa.table({"u": g.vids[res.u], "v": g.vids[res.v]})
+
+
+def _ktruss_sql(k: int = 5, rounds: int = 5) -> str:
+    """Exact SQL replay of pipelines/truss.py ktruss over the
+    augmented block fixture of ``_q_ktruss``: per round, per-edge
+    support via the canonical u<v triangle self-join, then delete
+    every edge below k−2 at once. Rounds past the fixpoint are
+    no-ops."""
+    ctes = [
+        """ke0 AS MATERIALIZED (
+  SELECT a.p_partkey AS u, b.p_partkey AS v
+  FROM part a JOIN part b
+    ON b.p_partkey > a.p_partkey
+   AND a.p_partkey // 8 = b.p_partkey // 8
+   AND (b.p_partkey - a.p_partkey <= 3
+        OR (b.p_partkey - a.p_partkey = 4
+            AND (a.p_partkey // 8) % 2 = 0)))""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""kt{r} AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM ke{r} a
+  JOIN ke{r} b ON b.u = a.u AND b.v > a.v
+  JOIN ke{r} c ON c.u = a.v AND c.v = b.v)"""
+        )
+        ctes.append(
+            f"""ks{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS sup FROM (
+    SELECT x AS u, y AS v FROM kt{r}
+    UNION ALL SELECT x, z FROM kt{r}
+    UNION ALL SELECT y, z FROM kt{r})
+  GROUP BY u, v)"""
+        )
+        ctes.append(
+            f"""ke{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ke{r} e
+  JOIN ks{r} s ON s.u = e.u AND s.v = e.v AND s.sup >= {k - 2})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT u, v FROM ke{rounds} ORDER BY u, v"
+    )
+
+
 def _q_conductance(sf_dir: str) -> pa.Table:
     """Per-community conductance of the Louvain partition on
     part_blocks (pipelines/stats.py conductance — cuts from the
@@ -1485,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coloring": _q_greedy_coloring,
         "modularity": _q_modularity,
         "conductance_louvain": _q_conductance,
+        "ktruss_5": _q_ktruss,
         "degree_histogram": _q_degree_histogram,
         "degree_assortativity": _q_degree_assortativity,
         "reciprocity": _q_reciprocity,
@@ -2797,6 +2880,7 @@ LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b""",
         "FROM h10 h JOIN a10 a ON a.vid = h.vid",
         "kcore": f"WITH {_E_BIP}, {_kcore_cte(8)} SELECT vid, val AS coreness FROM k8",
         "greedy_coloring": _coloring_sql(10),
+        "ktruss_5": _ktruss_sql(5, 5),
         "modularity": f"""WITH {_E_PBLK}, {_louvain_cte(8)},
 tot AS (SELECT f.c, SUM(d.k) AS t FROM fin f JOIN deg d ON d.vid = f.vid GROUP BY f.c),
 intra AS (

@@ -661,3 +661,80 @@ def test_greedy_coloring_range_split_fold_matches_dense():
         sg.m = old_m
     np.testing.assert_array_equal(dense.colors, ranged.colors)
     assert ranged.converged and ranged.iterations == dense.iterations
+
+
+def test_ktruss_matches_synchronous_peel_oracle():
+    from neo4j_graph_algorithms_ray.pipelines.truss import ktruss, ktruss_oracle
+
+    rng = np.random.default_rng(33)
+    n, m = 150, 1200
+    a, b = rng.integers(0, n, m), rng.integers(0, n, m)
+    keep = a != b
+    g = GraphTables.from_arrays(a[keep], b[keep])
+    assert np.array_equal(g.vids, np.arange(g.n))  # dense == original here
+    for k in (3, 4, 5):
+        res = ktruss(g, k=k)
+        assert res.converged
+        ou, ov = ktruss_oracle(a[keep], b[keep], g.n, k)
+        np.testing.assert_array_equal(res.u, ou)
+        np.testing.assert_array_equal(res.v, ov)
+    # every 4-truss edge closes >= 2 triangles inside the truss
+    res = ktruss(g, k=4)
+    if len(res.u):
+        adj = {}
+        for x, y in zip(res.u, res.v):
+            adj.setdefault(int(x), set()).add(int(y))
+            adj.setdefault(int(y), set()).add(int(x))
+        assert all(
+            len(adj[int(x)] & adj[int(y)]) >= 2
+            for x, y in zip(res.u, res.v)
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ktruss(g, k=2)
+
+
+def test_ktruss_clique_and_triangle_free():
+    from neo4j_graph_algorithms_ray.pipelines.truss import ktruss
+
+    # K5 is a 5-truss: survives k=5 fully, dies at k=6
+    uu, vv = np.triu_indices(5, 1)
+    g = GraphTables.from_arrays(uu.astype(np.int64), vv.astype(np.int64))
+    assert len(ktruss(g, k=5).u) == 10
+    assert len(ktruss(g, k=6).u) == 0
+    # a path (triangle-free) has no 3-truss
+    p = GraphTables.from_arrays(np.arange(6, dtype=np.int64),
+                                np.arange(1, 7, dtype=np.int64))
+    r = ktruss(p, k=3)
+    assert len(r.u) == 0 and r.converged
+
+
+def test_ktruss_augmented_block_fixture_selective_and_bounded():
+    """The registry fixture's shape: even blocks (extra +4 edges,
+    min support 3) survive k=5 whole; odd blocks cascade away; the
+    peel converges within 3 rounds (the 5-round SQL unroll's bound),
+    including a truncated final block."""
+    from neo4j_graph_algorithms_ray.pipelines.truss import ktruss
+
+    n = 805  # truncated last block
+    a = np.arange(n, dtype=np.int64)
+    srcs, dsts = [], []
+    for d in (1, 2, 3):
+        b = a + d
+        m = (b // 8 == a // 8) & (b < n)
+        srcs.append(a[m]); dsts.append(b[m])
+    b = a + 4
+    m = (b // 8 == a // 8) & (b < n) & ((a // 8) % 2 == 0)
+    srcs.append(a[m]); dsts.append(b[m])
+    g = GraphTables.from_arrays(np.concatenate(srcs), np.concatenate(dsts))
+    res = ktruss(g, k=5)
+    assert res.converged and res.rounds <= 3
+    surv_blocks = set((g.vids[res.u] // 8).tolist())
+    assert all(blk % 2 == 0 for blk in surv_blocks)
+    # every whole even block survives completely (22 edges each), and
+    # the truncated even block 100 (vertices 800-804, a K5 under d<=4,
+    # itself a 5-truss) survives with its 10 edges
+    whole_even = [blk for blk in range(n // 8) if blk % 2 == 0]
+    assert len(res.u) == 22 * len(whole_even) + 10
+    assert 100 in surv_blocks
