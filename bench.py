@@ -108,6 +108,12 @@ _BENCH_QUERIES = [
     "hits_k10",
     "kcore",
     "semantic_dedup",
+    # round-5 additions
+    "greedy_coloring",
+    "modularity",
+    "conductance_louvain",
+    "bloom_dedup_prior",
+    "ktruss_5",
 ]
 
 
